@@ -1,0 +1,171 @@
+"""Packed datasets: the TPU-native replacement for per-slice npz + DataLoader.
+
+The reference stores one npz per slice and re-reads + re-augments each item in
+CPU dataloader workers every epoch (capstone/data/datasets.py:37-55,
+capstone/data/data_module.py:46-71). Here a whole split is packed into three
+dense arrays — images (N, H, W) raw HU float32, labels (N, H, W) uint8
+(structure masks pre-squashed to a label map, highest class id wins), and
+mask indicators (N, 9) — that live in HBM for the entire run. Windowing,
+resizing and augmentation all happen on device inside the jitted train step.
+
+`pack_slices` consumes the same `{patient}_{index}.npz{image, masks,
+mask_indicator}` files the conversion CLI writes (and that the reference
+writes), in sorted order for cross-OS determinism (reference
+capstone/data/datasets.py:29-32).
+"""
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple, Union
+
+import numpy as np
+
+from ctseg_tpu.constants import NUM_CLASSES, NUM_STRUCTURES
+
+
+def _squash_masks_np(masks: np.ndarray) -> np.ndarray:
+    """(S, *spatial) binary masks -> (*spatial) uint8 label map."""
+    class_ids = np.arange(1, NUM_CLASSES, dtype=np.uint8)
+    shape = (NUM_STRUCTURES,) + (1,) * (masks.ndim - 1)
+    return (masks.astype(np.uint8) * class_ids.reshape(shape)).max(axis=0)
+
+
+class PackedDataset2D:
+    """A split of 2D slices packed into dense host arrays."""
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        indicators: np.ndarray,
+        names: Optional[list] = None,
+    ):
+        assert images.ndim == 3 and labels.ndim == 3
+        assert images.shape == labels.shape
+        assert indicators.shape == (images.shape[0], NUM_STRUCTURES)
+        self.images = images
+        self.labels = labels
+        self.indicators = indicators
+        self.names = names or [str(i) for i in range(images.shape[0])]
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def spatial_shape(self) -> Tuple[int, int]:
+        return self.images.shape[1:]
+
+    def save(self, path: Union[str, Path]) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path,
+            images=self.images,
+            labels=self.labels,
+            indicators=self.indicators,
+            names=np.array(self.names),
+        )
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "PackedDataset2D":
+        with np.load(path, allow_pickle=False) as z:
+            return cls(
+                images=z["images"],
+                labels=z["labels"],
+                indicators=z["indicators"],
+                names=[str(n) for n in z["names"]],
+            )
+
+    @classmethod
+    def concatenate(cls, *datasets: "PackedDataset2D") -> "PackedDataset2D":
+        """Train + valid concatenation (reference FullMiccaiDataModule2D,
+        capstone/data/data_module.py:74-88)."""
+        return cls(
+            images=np.concatenate([d.images for d in datasets]),
+            labels=np.concatenate([d.labels for d in datasets]),
+            indicators=np.concatenate([d.indicators for d in datasets]),
+            names=sum((d.names for d in datasets), []),
+        )
+
+
+def pack_slices(npz_dir: Union[str, Path]) -> PackedDataset2D:
+    """Pack a directory of per-slice npz files into a PackedDataset2D."""
+    paths = sorted(Path(npz_dir).glob("*.npz"))
+    assert paths, f"no npz slices found in {npz_dir}"
+    images, labels, indicators, names = [], [], [], []
+    for p in paths:
+        with np.load(p) as z:
+            img = z["image"]  # (1, H, W)
+            masks = z["masks"]  # (9, H, W)
+            ind = z["mask_indicator"]  # (9,)
+        images.append(img[0].astype(np.float32))
+        labels.append(_squash_masks_np(masks))
+        indicators.append(ind.astype(np.float32))
+        names.append(p.stem)
+    return PackedDataset2D(
+        images=np.stack(images),
+        labels=np.stack(labels),
+        indicators=np.stack(indicators),
+        names=names,
+    )
+
+
+class PackedDataset3D:
+    """Whole volumes packed per patient (shapes vary -> list of arrays).
+
+    Mirrors the reference volumetric dataset (capstone/volumetric/
+    datasets.py:11-48): per patient a (D, H, W) image, a (D, H, W) uint8
+    label map, and a (9,) indicator.
+    """
+
+    def __init__(self, images, labels, indicators, names=None):
+        assert len(images) == len(labels) == len(indicators)
+        self.images = images
+        self.labels = labels
+        self.indicators = indicators
+        self.names = names or [str(i) for i in range(len(images))]
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def save(self, path: Union[str, Path]) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        arrays: Dict[str, np.ndarray] = {}
+        for i, (img, lab, ind) in enumerate(
+            zip(self.images, self.labels, self.indicators)
+        ):
+            arrays[f"image_{i}"] = img
+            arrays[f"label_{i}"] = lab
+            arrays[f"indicator_{i}"] = ind
+        arrays["names"] = np.array(self.names)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "PackedDataset3D":
+        with np.load(path, allow_pickle=False) as z:
+            names = [str(n) for n in z["names"]]
+            n = len(names)
+            return cls(
+                images=[z[f"image_{i}"] for i in range(n)],
+                labels=[z[f"label_{i}"] for i in range(n)],
+                indicators=[z[f"indicator_{i}"] for i in range(n)],
+                names=names,
+            )
+
+
+def pack_volumes(npz_dir: Union[str, Path]) -> PackedDataset3D:
+    """Pack a directory of per-patient npz volumes into a PackedDataset3D."""
+    paths = sorted(Path(npz_dir).glob("*.npz"))
+    assert paths, f"no npz volumes found in {npz_dir}"
+    images, labels, indicators, names = [], [], [], []
+    for p in paths:
+        with np.load(p) as z:
+            img = z["image"]  # (1, D, H, W)
+            masks = z["masks"]  # (9, D, H, W)
+            ind = z["mask_indicator"]
+        images.append(img[0].astype(np.float32))
+        labels.append(_squash_masks_np(masks))
+        indicators.append(ind.astype(np.float32))
+        names.append(p.stem)
+    return PackedDataset3D(images, labels, indicators, names)

@@ -1,0 +1,193 @@
+"""Building blocks of the UNet: ConvUnit, ResidualUnit, InstanceNorm, PReLU.
+
+Architecture contract is MONAI's `Convolution` / `ResidualUnit` as configured
+by the reference (capstone/training/base_trainer.py:72-79 uses MONAI UNet with
+act=PReLU, norm=Instance): Conv -> InstanceNorm(affine=False, eps=1e-5) ->
+PReLU(single shared parameter, init 0.25). Implemented channel-last
+(NHWC/NDHWC) for TPU, with explicit torch-compatible padding so the numerics
+are verifiable against torch in tests (tests/test_torch_parity.py).
+
+Initialization follows torch's Conv default (kaiming-uniform with a=sqrt(5),
+i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both kernel and bias) so training
+dynamics match the reference.
+"""
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == torch kaiming_uniform(a=sqrt(5)).
+torch_kernel_init = jax.nn.initializers.variance_scaling(
+    scale=1.0 / 3.0, mode="fan_in", distribution="uniform"
+)
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-(sample, channel) normalization over spatial dims, no affine.
+
+    Matches torch InstanceNormNd defaults (affine=False, eps=1e-5, biased
+    variance). x: (N, *spatial, C).
+    """
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class PReLU(nn.Module):
+    """PReLU with a single shared learnable slope (torch nn.PReLU default)."""
+
+    init_value: float = 0.25
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha",
+            lambda key, shape, dtype: jnp.full(shape, self.init_value, dtype),
+            (1,),
+            self.param_dtype,
+        ).astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def _same_padding(kernel_size: int) -> int:
+    return (kernel_size - 1) // 2
+
+
+class ConvUnit(nn.Module):
+    """Conv -> InstanceNorm -> PReLU (or conv only).
+
+    Strided convs use torch-style symmetric padding (k-1)//2 so downsampling
+    tap alignment matches the reference exactly.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    conv_only: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ndim = x.ndim - 2  # spatial rank
+        pad = _same_padding(self.kernel_size)
+        fan_in = x.shape[-1] * self.kernel_size ** ndim
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,) * ndim,
+            strides=(self.stride,) * ndim,
+            padding=[(pad, pad)] * ndim,
+            kernel_init=torch_kernel_init,
+            bias_init=_torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        if not self.conv_only:
+            x = instance_norm(x)
+            x = PReLU(param_dtype=self.param_dtype)(x)
+        return x
+
+
+class ConvTransposeUnit(nn.Module):
+    """Transposed conv (exactly doubles spatial dims at stride 2) -> IN -> PReLU.
+
+    Padding mirrors torch ConvTranspose(k, s, padding=(k-1)//2,
+    output_padding=s-1): on the stride-dilated input that is
+    (k-1-p, k-1-p+s-1), giving out = in * s.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    conv_only: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ndim = x.ndim - 2
+        p = _same_padding(self.kernel_size)
+        pad_lo = self.kernel_size - 1 - p
+        pad_hi = self.kernel_size - 1 - p + self.stride - 1
+        fan_in = x.shape[-1] * self.kernel_size ** ndim
+        x = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(self.kernel_size,) * ndim,
+            strides=(self.stride,) * ndim,
+            padding=[(pad_lo, pad_hi)] * ndim,
+            kernel_init=torch_kernel_init,
+            bias_init=_torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        if not self.conv_only:
+            x = instance_norm(x)
+            x = PReLU(param_dtype=self.param_dtype)(x)
+        return x
+
+
+class ResidualUnit(nn.Module):
+    """Residual block of `subunits` ConvUnits plus a projection shortcut.
+
+    MONAI ResidualUnit semantics: the first subunit carries the stride and the
+    channel change; the shortcut is identity when shape-preserving, otherwise
+    a conv with kernel `kernel_size` when strided or 1 when only the channel
+    count changes. `last_conv_only` drops norm+act from the final subunit.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    subunits: int = 2
+    last_conv_only: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ndim = x.ndim - 2
+        in_features = x.shape[-1]
+        subunits = max(1, self.subunits)
+
+        residual = x
+        if self.stride != 1 or in_features != self.features:
+            rkernel = self.kernel_size if self.stride != 1 else 1
+            rpad = _same_padding(rkernel)
+            fan_in = in_features * rkernel ** ndim
+            residual = nn.Conv(
+                features=self.features,
+                kernel_size=(rkernel,) * ndim,
+                strides=(self.stride,) * ndim,
+                padding=[(rpad, rpad)] * ndim,
+                kernel_init=torch_kernel_init,
+                bias_init=_torch_bias_init(fan_in),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="shortcut",
+            )(x)
+
+        out = x
+        for su in range(subunits):
+            out = ConvUnit(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride if su == 0 else 1,
+                conv_only=self.last_conv_only and su == subunits - 1,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"unit{su}",
+            )(out)
+        return residual + out

@@ -1,0 +1,144 @@
+"""N-dimensional residual UNet (architecture-equivalent to MONAI's UNet).
+
+The reference re-exports MONAI's UNet (capstone/models/__init__.py:3) and
+configures it at capstone/training/base_trainer.py:64-79 /
+capstone/volumetric/base_trainer.py:58-72. This is a ground-up channel-last
+flax implementation of that architecture:
+
+  - 5-level encoder/decoder; encoder downsamples with strided convs, decoder
+    upsamples with transposed convs (both kernel 3).
+  - num_res_units = 0: plain Conv->IN->PReLU units.
+  - num_res_units > 0: ResidualUnits with that many subunits on the encoder
+    and bottom; decoder levels append a 1-subunit ResidualUnit after the
+    transposed conv, with conv-only output at the top level.
+  - Skip connections concatenate along the channel axis.
+
+One code path serves 2D (N,H,W,C) and 3D (N,D,H,W,C) — the reference needed
+a separate volumetric twin stack for 3D (capstone/volumetric/).
+"""
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ctseg_tpu.models.layers import (
+    ConvTransposeUnit,
+    ConvUnit,
+    ResidualUnit,
+    _torch_bias_init,
+    torch_kernel_init,
+)
+
+
+class UNet(nn.Module):
+    out_channels: int = 10
+    channels: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    strides: Tuple[int, ...] = (2, 2, 2, 2)
+    num_res_units: int = 0
+    kernel_size: int = 3
+    up_kernel_size: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def _down(self, x: jnp.ndarray, features: int, stride: int, name: str):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        if self.num_res_units > 0:
+            return ResidualUnit(
+                features=features,
+                kernel_size=self.kernel_size,
+                stride=stride,
+                subunits=self.num_res_units,
+                **common,
+            )(x)
+        return ConvUnit(
+            features=features, kernel_size=self.kernel_size, stride=stride, **common
+        )(x)
+
+    def _up(self, x: jnp.ndarray, features: int, stride: int, is_top: bool, name: str):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = ConvTransposeUnit(
+            features=features,
+            kernel_size=self.up_kernel_size,
+            stride=stride,
+            conv_only=is_top and self.num_res_units == 0,
+            name=f"{name}_transp",
+            **common,
+        )(x)
+        if self.num_res_units > 0:
+            x = ResidualUnit(
+                features=features,
+                kernel_size=self.kernel_size,
+                stride=1,
+                subunits=1,
+                last_conv_only=is_top,
+                name=f"{name}_ru",
+                **common,
+            )(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert len(self.channels) == len(self.strides) + 1, (
+            "need one more channel spec than strides"
+        )
+        depth = len(self.strides)
+
+        # Encoder: strided downsampling blocks; keep skip tensors.
+        skips = []
+        for i in range(depth):
+            x = self._down(x, self.channels[i], self.strides[i], name=f"down{i}")
+            skips.append(x)
+
+        # Bottom block (stride 1).
+        x = self._down(x, self.channels[depth], 1, name="bottom")
+
+        # Decoder: concat skip, then upsample. Output channels per level
+        # follow the MONAI recursion: level i emits channels[i-1]
+        # (the top level emits out_channels).
+        for i in reversed(range(depth)):
+            x = jnp.concatenate([skips[i], x], axis=-1)
+            is_top = i == 0
+            features = self.out_channels if is_top else self.channels[i - 1]
+            x = self._up(x, features, self.strides[i], is_top, name=f"up{i}")
+        return x
+
+
+class SegmentationModel(nn.Module):
+    """UNet plus the optional 1x1 input-downsampling conv.
+
+    The reference's BaseUNet2D owns a Conv2d(3->1, kernel 1) applied before
+    the UNet when `downsample` is set (capstone/training/base_trainer.py:53,
+    81-85); this wraps that composition as a single flax module.
+    """
+
+    out_channels: int = 10
+    channels: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    strides: Tuple[int, ...] = (2, 2, 2, 2)
+    num_res_units: int = 0
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.downsample:
+            ndim = x.ndim - 2
+            x = nn.Conv(
+                features=1,
+                kernel_size=(1,) * ndim,
+                kernel_init=torch_kernel_init,
+                bias_init=_torch_bias_init(x.shape[-1]),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv1x1",
+            )(x)
+        return UNet(
+            out_channels=self.out_channels,
+            channels=self.channels,
+            strides=self.strides,
+            num_res_units=self.num_res_units,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="unet",
+        )(x)

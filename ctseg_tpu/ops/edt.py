@@ -1,0 +1,92 @@
+"""Exact Euclidean distance transform on device.
+
+The reference computes boundary-loss distance maps with scipy's EDT inside
+CPU dataloader workers, per item, every epoch (capstone/data/utils.py:10-26,
+capstone/data/datasets.py:58-69). Here the EDT runs on the TPU from the
+already-augmented label map, so the maps are exact for the transformed masks
+(the reference's semantics) with zero host round trips.
+
+Algorithm: the squared EDT is separable. Pass 1 computes exact 1D distances
+along rows with two linear scans (O(HW), VPU-friendly). Pass 2 solves
+D2[i,j] = min_k (G[k,j] + (i-k)^2) by brute-force minimum over k — an
+O(H^2 W) dense broadcast that XLA tiles well; for H=W=256 this is ~17M
+fused multiply-min ops per map, far cheaper on TPU than a host round trip.
+Exactness is tested against scipy (tests/test_edt.py).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ctseg_tpu.constants import NUM_CLASSES
+
+_BIG = jnp.float32(1e12)
+
+
+def _scan_distance_1d(sites: jnp.ndarray) -> jnp.ndarray:
+    """Per-row distance (in steps) to the nearest True along the last axis.
+
+    sites: (..., W) bool. Returns float distance, _BIG where a row has none.
+    """
+    w = sites.shape[-1]
+    init = jnp.full(sites.shape[:-1], _BIG)
+
+    def fwd(carry, s):
+        carry = jnp.where(s, 0.0, carry + 1.0)
+        return carry, carry
+
+    def bwd(carry, s):
+        carry = jnp.where(s, 0.0, carry + 1.0)
+        return carry, carry
+
+    xs = jnp.moveaxis(sites, -1, 0)  # scan over W
+    _, f = jax.lax.scan(fwd, init, xs)
+    _, b = jax.lax.scan(bwd, init, xs, reverse=True)
+    dist = jnp.minimum(f, b)
+    return jnp.moveaxis(dist, 0, -1)
+
+
+def edt(mask: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance from each pixel to the nearest zero of `mask`.
+
+    mask: (H, W) bool/int — scipy.ndimage.distance_transform_edt semantics:
+    distance is 0 on zeros of the input, all-ones input gives large values.
+    """
+    sites = jnp.logical_not(mask.astype(bool))  # distance to nearest background
+    h = mask.shape[0]
+    g = _scan_distance_1d(sites)  # (H, W): exact 1D distance along rows
+    g2 = jnp.minimum(g * g, _BIG)
+    # Column pass: D2[i, j] = min_k (g2[k, j] + (i - k)^2).
+    i = jnp.arange(h, dtype=jnp.float32)
+    k = jnp.arange(h, dtype=jnp.float32)
+    cost = (i[:, None] - k[None, :]) ** 2  # (H, H)
+    d2 = jnp.min(cost[:, :, None] + g2[None, :, :], axis=1)  # (H, W)
+    return jnp.sqrt(d2)
+
+
+def signed_distance_map(mask: jnp.ndarray) -> jnp.ndarray:
+    """Signed EDT of one binary mask with the reference's convention:
+    dist(~mask)*~mask - (dist(mask)-1)*mask, all divided by 255
+    (capstone/data/utils.py:10-26); an empty mask yields zeros."""
+    mask = mask.astype(bool)
+    pos = mask
+    neg = jnp.logical_not(mask)
+    d_out = edt(neg)  # distance to nearest structure pixel, on background
+    d_in = edt(pos)  # distance to nearest background pixel, on structure
+    result = d_out * neg - (d_in - 1.0) * pos
+    nonempty = jnp.any(pos)
+    return jnp.where(nonempty, result, 0.0) / 255.0
+
+
+def signed_distance_maps_from_labels(
+    labels: jnp.ndarray, n_classes: int = NUM_CLASSES
+) -> jnp.ndarray:
+    """(N, H, W) label map -> (N, H, W, n_classes-1) signed distance maps
+    (background excluded), matching the boundary-loss input layout."""
+    def per_sample(lab):
+        def per_class(c):
+            return signed_distance_map(lab == c)
+
+        maps = jax.vmap(per_class)(jnp.arange(1, n_classes))  # (C-1, H, W)
+        return jnp.moveaxis(maps, 0, -1)
+
+    return jax.vmap(per_sample)(labels)

@@ -1,0 +1,372 @@
+"""Functional trainer: jitted train/eval steps, plateau LR, checkpoints.
+
+Replaces the reference's PyTorch-Lightning stack (BaseUNet2D/MixupUNet2D,
+capstone/training/base_trainer.py:22-148, mixup_trainer.py:22-128) with an
+explicit state machine:
+
+  TrainState = (step, params, opt_state, plateau)
+  train_step: on-device transform -> [mixup] -> forward -> multi-loss ->
+              grads -> Adam(lr from plateau state) -> metrics
+  eval_step:  test transform -> forward -> per-structure Dice
+
+Data parallelism is pjit-style: hand the Trainer a `jax.sharding.Mesh` and
+batches are sharded over its 'data' axis with replicated params; XLA inserts
+the gradient all-reduce over ICI (the reference's implicit ceiling was
+Lightning-DDP; SURVEY.md §2).
+
+Everything inside the step is jitted once per shape; the input pipeline keeps
+shapes static (fixed batch, fixed crop size).
+"""
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ctseg_tpu.constants import EXPERIMENT_SEED, NUM_CLASSES, STRUCTURES
+from ctseg_tpu.losses import MultiLoss
+from ctseg_tpu.metrics import DiceMetric
+from ctseg_tpu.models import SegmentationModel
+from ctseg_tpu.ops import squash_predictions
+from ctseg_tpu.ops.edt import signed_distance_maps_from_labels
+from ctseg_tpu.training import checkpoint as ckpt
+from ctseg_tpu.training.logging import MetricLogger
+from ctseg_tpu.training.mixup import mixup_tensors, weighted_mixup
+from ctseg_tpu.training.schedule import PlateauState, plateau_init, reduce_on_plateau
+from ctseg_tpu.transforms.pipelines import (
+    batched_transform,
+    get_transform,
+    transform_in_channels,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters (reference argparse surface, base_trainer.py:150-209)."""
+
+    filters: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    num_res_units: int = 0  # use_res_units: base->2, mixup->1
+    downsample: bool = False
+    transform_degree: int = 0
+    lr: float = 1e-3
+    batch_size: int = 128
+    loss_fx: Tuple[str, ...] = ("Focal", "Dice")
+    exclude_missing: bool = False
+    mixup: bool = False
+    mixup_alpha: float = 0.2
+    epochs: int = 200
+    seed: int = EXPERIMENT_SEED
+    plateau_factor: float = 0.5
+    plateau_patience: int = 10
+    plateau_threshold: float = 0.01
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    spatial_dims: int = 2
+    input_size: int = 256  # post-transform spatial size (reference: 256)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
+        d = dict(d)
+        for k in ("filters", "loss_fx"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    plateau: PlateauState
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None):
+        self.config = config
+        self.mesh = mesh
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        self.model = SegmentationModel(
+            out_channels=NUM_CLASSES,
+            channels=tuple(config.filters),
+            num_res_units=config.num_res_units,
+            downsample=config.downsample,
+            dtype=dtype,
+        )
+        self.loss = MultiLoss(
+            list(config.loss_fx), exclude_missing=config.exclude_missing
+        )
+        self.needs_dist_maps = "Boundary" in config.loss_fx
+        self.dice = DiceMetric()
+        size = (config.input_size,) * 2
+        self.train_transform = get_transform(
+            config.transform_degree, train=True, size=size
+        )
+        self.test_transform = get_transform(
+            config.transform_degree, train=False, size=size
+        )
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=config.lr
+        )
+
+        self._batch_sharding = None
+        self._replicated = None
+        if mesh is not None:
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            in_shardings=(
+                (self._replicated, self._batch_sharding, None)
+                if mesh is not None
+                else None
+            ),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            self._eval_step_impl,
+            in_shardings=(
+                (self._replicated, self._batch_sharding)
+                if mesh is not None
+                else None
+            ),
+        )
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
+        key = key if key is not None else jax.random.key(self.config.seed)
+        in_channels = transform_in_channels(self.config.transform_degree)
+        sample = jnp.zeros(
+            (1,)
+            + (self.config.input_size,) * self.config.spatial_dims
+            + (in_channels,)
+        )
+        params = self.model.init(key, sample)
+        opt_state = self.optimizer.init(params)
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            plateau=plateau_init(self.config.lr, mode="max"),
+        )
+        if self._replicated is not None:
+            state = jax.device_put(state, self._replicated)
+        return state
+
+    # ------------------------------------------------------------- train step
+    def _forward(self, params, images):
+        return self.model.apply(params, images)
+
+    def _losses_and_logits(self, params, images, labels, indicators):
+        logits = self._forward(params, images).astype(jnp.float32)
+        dist_maps = (
+            signed_distance_maps_from_labels(labels) if self.needs_dist_maps else None
+        )
+        values = self.loss(logits, labels, indicators, dist_maps)
+        return values, logits, dist_maps
+
+    def _train_step_impl(self, state: TrainState, batch, key):
+        images_raw, labels_raw, indicators = batch
+        k_transform, k_mixup = jax.random.split(jax.random.fold_in(key, state.step))
+        images, labels = batched_transform(
+            self.train_transform, k_transform, images_raw, labels_raw
+        )
+        images = images.astype(
+            jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        )
+
+        if self.config.mixup:
+            mixed, index, lam = weighted_mixup(
+                k_mixup, images, labels, self.config.mixup_alpha
+            )
+
+            def loss_fn(params):
+                logits = self._forward(params, mixed).astype(jnp.float32)
+                dist_maps = (
+                    signed_distance_maps_from_labels(labels)
+                    if self.needs_dist_maps
+                    else None
+                )
+                values_a = self.loss(logits, labels, indicators, dist_maps)
+                labels_b = jnp.take(labels, index, axis=0)
+                indicators_b = jnp.take(indicators, index, axis=0)
+                dist_b = (
+                    jnp.take(dist_maps, index, axis=0)
+                    if dist_maps is not None
+                    else None
+                )
+                values_b = self.loss(logits, labels_b, indicators_b, dist_b)
+                values = {
+                    name: mixup_tensors(values_a[name], values_b[name], lam)
+                    for name in values_a
+                }
+                total = self.loss.total(values)
+                return total, (values, logits, labels_b)
+        else:
+
+            def loss_fn(params):
+                values, logits, _ = self._losses_and_logits(
+                    params, images, labels, indicators
+                )
+                total = self.loss.total(values)
+                return total, (values, logits, labels)
+
+        (total, (values, logits, labels_for_dice)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        # Adam with the plateau-controlled learning rate.
+        opt_state = state.opt_state
+        hyper = dict(opt_state.hyperparams)
+        hyper["learning_rate"] = state.plateau.lr
+        opt_state = opt_state._replace(hyperparams=hyper)
+        updates, opt_state = self.optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # Dice logging (reference logs it every step, epoch-averaged,
+        # base_trainer.py:120-136). exclude_missing zeroes the logits of
+        # structures missing from each sample before argmax.
+        pred_logits = logits
+        if self.config.exclude_missing:
+            spatial_ones = (1,) * (logits.ndim - 2)
+            ind = indicators.reshape(indicators.shape[0], *spatial_ones, -1)
+            pred_logits = jnp.concatenate(
+                [logits[..., :1], logits[..., 1:] * ind], axis=-1
+            )
+        preds = squash_predictions(pred_logits)
+        if self.config.mixup:
+            mean_a, per_class_a = self.dice(preds, labels)
+            mean_b, per_class_b = self.dice(preds, labels_for_dice)
+            dice_mean = mixup_tensors(mean_a, mean_b, lam)
+            dice_per_class = mixup_tensors(per_class_a, per_class_b, lam)
+        else:
+            dice_mean, dice_per_class = self.dice(preds, labels)
+
+        metrics = {f"loss/{k}": v for k, v in values.items()}
+        metrics["loss/total"] = total
+        metrics["dice/mean"] = dice_mean
+        for s, v in zip(STRUCTURES, dice_per_class):
+            metrics[f"dice/{s}"] = v
+        metrics["lr"] = state.plateau.lr
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            plateau=state.plateau,
+        )
+        return new_state, metrics
+
+    # -------------------------------------------------------------- eval step
+    def _eval_step_impl(self, params, batch):
+        images_raw, labels_raw, indicators = batch
+        key = jax.random.key(0)  # test transform is deterministic
+        images, labels = batched_transform(
+            self.test_transform, key, images_raw, labels_raw
+        )
+        values, logits, _ = self._losses_and_logits(
+            params, images, labels, indicators
+        )
+        pred_logits = logits
+        if self.config.exclude_missing:
+            spatial_ones = (1,) * (logits.ndim - 2)
+            ind = indicators.reshape(indicators.shape[0], *spatial_ones, -1)
+            pred_logits = jnp.concatenate(
+                [logits[..., :1], logits[..., 1:] * ind], axis=-1
+            )
+        preds = squash_predictions(pred_logits)
+        dice_mean, dice_per_class = self.dice(preds, labels)
+        metrics = {f"loss/{k}": v for k, v in values.items()}
+        metrics["dice/mean"] = dice_mean
+        for s, v in zip(STRUCTURES, dice_per_class):
+            metrics[f"dice/{s}"] = v
+        return metrics
+
+    # ------------------------------------------------------------------ loops
+    def shard_batch(self, batch):
+        if self._batch_sharding is None:
+            return batch
+        return jax.device_put(batch, self._batch_sharding)
+
+    def train_epoch(self, state, pipeline, key, logger=None):
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in pipeline.epoch(key):
+            state, metrics = self._train_step(state, self.shard_batch(batch), key)
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        means = {f"train/{k}": v / max(count, 1) for k, v in sums.items()}
+        if logger is not None:
+            logger.log(means, step=int(state.step))
+        return state, means
+
+    def eval_epoch(self, params, pipeline, prefix="val", logger=None, step=0):
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in pipeline.epoch(None):
+            metrics = self._eval_step(params, self.shard_batch(batch))
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        means = {f"{prefix}/{k}": v / max(count, 1) for k, v in sums.items()}
+        if logger is not None:
+            logger.log(means, step=step)
+        return means
+
+    def fit(
+        self,
+        state: TrainState,
+        train_pipeline,
+        val_pipeline=None,
+        epochs: Optional[int] = None,
+        logger: Optional[MetricLogger] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+    ) -> TrainState:
+        epochs = epochs or self.config.epochs
+        base_key = jax.random.key(self.config.seed)
+        for epoch in range(epochs):
+            key = jax.random.fold_in(base_key, epoch)
+            t0 = time.time()
+            state, train_metrics = self.train_epoch(state, train_pipeline, key, logger)
+            if val_pipeline is not None:
+                val_metrics = self.eval_epoch(
+                    state.params, val_pipeline, "val", logger, step=int(state.step)
+                )
+                monitored = val_metrics["val/dice/mean"]
+                plateau, _ = reduce_on_plateau(
+                    state.plateau,
+                    monitored,
+                    mode="max",
+                    factor=self.config.plateau_factor,
+                    patience=self.config.plateau_patience,
+                    threshold=self.config.plateau_threshold,
+                )
+                state = state._replace(plateau=plateau)
+            if logger is not None:
+                logger.log({"epoch": epoch, "epoch_time": time.time() - t0},
+                           step=int(state.step))
+            if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                self.save(checkpoint_dir, state)
+        return state
+
+    # ------------------------------------------------------------ checkpoints
+    def save(self, path, state: TrainState) -> None:
+        ckpt.save_checkpoint(path, state, self.config.as_dict())
+
+    @classmethod
+    def restore(cls, path, mesh=None) -> Tuple["Trainer", TrainState]:
+        config = TrainConfig.from_dict(ckpt.load_hparams(path))
+        trainer = cls(config, mesh=mesh)
+        template = trainer.init_state()
+        state = ckpt.load_checkpoint(path, jax.device_get(template))
+        return trainer, jax.device_put(state)

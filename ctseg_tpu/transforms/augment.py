@@ -1,0 +1,230 @@
+"""On-device data augmentation with explicit PRNG keys.
+
+Replaces the Albumentations CPU pipeline (reference capstone/transforms/
+predefined.py:31-105): every op is a pure function of (key, image, label)
+running under jit/vmap on device, so augmentation rides the TPU's VPU instead
+of dataloader workers. Distributional equivalence with the Albumentations
+ops is what matters for training parity (SURVEY.md §7 "Randomness parity");
+exact RNG streams are neither possible nor required.
+
+Images are (H, W, C) float, labels (H, W) int. All ops keep shapes static.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+
+def resize(image: jnp.ndarray, size: Tuple[int, int], method: str = "linear"):
+    """Resize (H, W, ...) to (size[0], size[1], ...)."""
+    out_shape = (size[0], size[1]) + image.shape[2:]
+    return jax.image.resize(image, out_shape, method=method)
+
+
+def resize_image_and_label(image, label, size):
+    """Bilinear for the image, nearest for the label (Albumentations Resize)."""
+    img = resize(image, size, "linear")
+    lab = resize(label.astype(jnp.float32), size, "nearest").astype(label.dtype)
+    return img, lab
+
+
+def random_crop(key, image, label, size: Tuple[int, int]):
+    """Uniform random crop to `size` (A.RandomCrop)."""
+    h, w = image.shape[0], image.shape[1]
+    kh, kw = jax.random.split(key)
+    top = jax.random.randint(kh, (), 0, h - size[0] + 1)
+    left = jax.random.randint(kw, (), 0, w - size[1] + 1)
+    img = jax.lax.dynamic_slice(
+        image, (top, left) + (0,) * (image.ndim - 2), size + image.shape[2:]
+    )
+    lab = jax.lax.dynamic_slice(label, (top, left), size)
+    return img, lab
+
+
+def center_crop(image, label, size: Tuple[int, int]):
+    h, w = image.shape[0], image.shape[1]
+    top, left = (h - size[0]) // 2, (w - size[1]) // 2
+    return (
+        jax.lax.dynamic_slice(
+            image, (top, left) + (0,) * (image.ndim - 2), size + image.shape[2:]
+        ),
+        jax.lax.dynamic_slice(label, (top, left), size),
+    )
+
+
+def horizontal_flip(key, image, label, p: float = 0.5):
+    """Flip the W axis with probability p (A.HorizontalFlip)."""
+    do = jax.random.bernoulli(key, p)
+    img = jnp.where(do, jnp.flip(image, axis=1), image)
+    lab = jnp.where(do, jnp.flip(label, axis=1), label)
+    return img, lab
+
+
+def random_rotate90(key, image, label, p: float = 0.5):
+    """Rotate by k*90 degrees, k ~ U{0..3}, applied with probability p
+    (A.RandomRotate90). Requires square spatial dims."""
+    assert image.shape[0] == image.shape[1], "rot90 needs square inputs"
+    kp, kk = jax.random.split(key)
+    k = jnp.where(jax.random.bernoulli(kp, p), jax.random.randint(kk, (), 0, 4), 0)
+
+    def rot(x):
+        branches = [lambda v, i=i: jnp.rot90(v, k=i, axes=(0, 1)) for i in range(4)]
+        return jax.lax.switch(k, branches, x)
+
+    return rot(image), rot(label)
+
+
+def _solve_affine(src_pts: jnp.ndarray, dst_pts: jnp.ndarray) -> jnp.ndarray:
+    """2x3 affine M with dst = M @ [src, 1] from 3 point pairs."""
+    ones = jnp.ones((3, 1), src_pts.dtype)
+    A = jnp.concatenate([src_pts, ones], axis=1)  # (3, 3)
+    sol = jnp.linalg.solve(A, dst_pts)  # (3, 2)
+    return sol.T  # (2, 3)
+
+
+def _gaussian_blur_1d(x: jnp.ndarray, sigma: float, axis: int) -> jnp.ndarray:
+    radius = int(min(3 * sigma, x.shape[axis] - 1))
+    t = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    kernel = jnp.exp(-0.5 * (t / sigma) ** 2)
+    kernel = kernel / jnp.sum(kernel)
+    x_moved = jnp.moveaxis(x, axis, -1)
+    padded = jnp.pad(
+        x_moved, [(0, 0)] * (x.ndim - 1) + [(radius, radius)], mode="reflect"
+    )
+    out = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(
+        padded.reshape(-1, padded.shape[-1])
+    ).reshape(x_moved.shape)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def elastic_transform(
+    key,
+    image,
+    label,
+    alpha: float = 1.0,
+    sigma: float = 50.0,
+    alpha_affine: float = 50.0,
+    p: float = 0.5,
+):
+    """Elastic deformation (Simard 2003 as popularized by A.ElasticTransform):
+    a random affine from jittered corner points plus a Gaussian-smoothed
+    random displacement field. Bilinear for the image, nearest for labels,
+    mirror boundary (cv2 BORDER_REFLECT_101 equivalent)."""
+    h, w = image.shape[0], image.shape[1]
+    k_apply, k_aff, k_dx, k_dy = jax.random.split(key, 4)
+
+    # Random affine: perturb a centered triangle of anchor points.
+    center = jnp.array([w // 2, h // 2], jnp.float32)
+    square = min(h, w) // 3
+    src_pts = jnp.stack(
+        [
+            center + jnp.array([square, square], jnp.float32),
+            center + jnp.array([square, -square], jnp.float32),
+            center + jnp.array([-square, square], jnp.float32),
+        ]
+    )
+    jitter = jax.random.uniform(
+        k_aff, (3, 2), jnp.float32, -alpha_affine, alpha_affine
+    )
+    M = _solve_affine(src_pts, src_pts + jitter)  # dst <- src mapping
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # Invert: for each output pixel find the source location.
+    A = M[:, :2]
+    b = M[:, 2]
+    Ainv = jnp.linalg.inv(A)
+    src_x = Ainv[0, 0] * (xs - b[0]) + Ainv[0, 1] * (ys - b[1])
+    src_y = Ainv[1, 0] * (xs - b[0]) + Ainv[1, 1] * (ys - b[1])
+
+    # Gaussian-smoothed displacement field.
+    dx = jax.random.uniform(k_dx, (h, w), jnp.float32, -1.0, 1.0)
+    dy = jax.random.uniform(k_dy, (h, w), jnp.float32, -1.0, 1.0)
+    dx = _gaussian_blur_1d(_gaussian_blur_1d(dx, sigma, 0), sigma, 1) * alpha
+    dy = _gaussian_blur_1d(_gaussian_blur_1d(dy, sigma, 0), sigma, 1) * alpha
+    coord_y = src_y + dy
+    coord_x = src_x + dx
+
+    def warp(img2d, order):
+        return map_coordinates(img2d, [coord_y, coord_x], order=order, mode="mirror")
+
+    img_w = jnp.stack(
+        [warp(image[..., c], 1) for c in range(image.shape[-1])], axis=-1
+    )
+    lab_w = warp(label.astype(jnp.float32), 0).astype(label.dtype)
+
+    do = jax.random.bernoulli(k_apply, p)
+    return (
+        jnp.where(do, img_w, image),
+        jnp.where(do, lab_w, label),
+    )
+
+
+def _distortion_map(key, length: int, num_steps: int, distort_limit: float):
+    """Monotone piecewise-linear source-coordinate map (A.GridDistortion)."""
+    steps = 1.0 + jax.random.uniform(
+        key, (num_steps + 1,), jnp.float32, -distort_limit, distort_limit
+    )
+    step = length // num_steps
+    segments = []
+    prev = jnp.float32(0.0)
+    start = 0
+    for idx in range(num_steps + 1):
+        if start >= length:
+            break
+        end = min(start + step, length)
+        if end == length and start + step > length:
+            cur = jnp.float32(length)
+        else:
+            cur = prev + step * steps[idx]
+        n = end - start
+        seg = prev + (cur - prev) * jnp.arange(n, dtype=jnp.float32) / max(n, 1)
+        segments.append(seg)
+        prev = cur
+        start = end
+    return jnp.concatenate(segments)[:length]
+
+
+def grid_distortion(
+    key,
+    image,
+    label,
+    num_steps: int = 5,
+    distort_limit: float = 0.3,
+    p: float = 0.5,
+):
+    """Grid distortion: each grid cell is stretched/compressed by a random
+    factor along each axis (A.GridDistortion defaults)."""
+    h, w = image.shape[0], image.shape[1]
+    k_apply, kx, ky = jax.random.split(key, 3)
+    map_x = _distortion_map(kx, w, num_steps, distort_limit)  # (W,)
+    map_y = _distortion_map(ky, h, num_steps, distort_limit)  # (H,)
+    coord_y = jnp.broadcast_to(map_y[:, None], (h, w))
+    coord_x = jnp.broadcast_to(map_x[None, :], (h, w))
+
+    def warp(img2d, order):
+        return map_coordinates(img2d, [coord_y, coord_x], order=order, mode="mirror")
+
+    img_w = jnp.stack(
+        [warp(image[..., c], 1) for c in range(image.shape[-1])], axis=-1
+    )
+    lab_w = warp(label.astype(jnp.float32), 0).astype(label.dtype)
+
+    do = jax.random.bernoulli(k_apply, p)
+    return jnp.where(do, img_w, image), jnp.where(do, lab_w, label)
+
+
+def one_of(key, ops, image, label):
+    """Apply exactly one of `ops` chosen uniformly (A.OneOf with p=0.5 handled
+    by the member ops' own p)."""
+    k_pick, k_op = jax.random.split(key)
+    choice = jax.random.randint(k_pick, (), 0, len(ops))
+    branches = [
+        functools.partial(lambda op, k, im, lb: op(k, im, lb), op) for op in ops
+    ]
+    return jax.lax.switch(choice, branches, k_op, image, label)

@@ -1,0 +1,83 @@
+"""UNet architecture tests: shapes, parameter counts, 2D/3D, config variants.
+
+Parameter-count targets come from the reference report (Report.pdf Table 1):
+Model L (filters 64..1024, num_res_units=2) ~ 26M params; Model M
+(num_res_units=1) ~ 13.5M is a *different* filter config in the report, but
+the res-unit deltas here sanity-check the architecture wiring.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctseg_tpu.models import SegmentationModel, UNet
+
+
+def n_params(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@pytest.mark.parametrize("res_units", [0, 1, 2])
+def test_unet2d_output_shape(res_units):
+    model = UNet(out_channels=10, channels=(4, 8, 16, 32, 64), num_res_units=res_units)
+    x = jnp.zeros((2, 64, 64, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 64, 64, 10)
+
+
+def test_unet3d_output_shape():
+    model = UNet(out_channels=10, channels=(4, 8, 16, 32, 64), num_res_units=2)
+    x = jnp.zeros((1, 16, 32, 32, 1))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 16, 32, 32, 10)
+
+
+def test_model_l_param_count():
+    """Model L: 2D UNet, in=3, out=10, filters 64..1024, res units 2 -> ~26M
+    (Report.pdf Table 1)."""
+    model = UNet(out_channels=10, num_res_units=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    count = n_params(params)
+    assert 25_000_000 < count < 27_500_000, f"param count {count}"
+
+
+def test_res_units_increase_params():
+    counts = []
+    for ru in (0, 1, 2):
+        model = UNet(out_channels=10, channels=(8, 16, 32, 64, 128), num_res_units=ru)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        counts.append(n_params(params))
+    assert counts[0] < counts[1] < counts[2]
+
+
+def test_downsample_conv1x1():
+    model = SegmentationModel(
+        channels=(4, 8, 16, 32, 64), num_res_units=0, downsample=True
+    )
+    x = jnp.zeros((2, 64, 64, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 64, 64, 10)
+    assert "conv1x1" in params["params"]
+
+
+def test_odd_input_sizes_rejected_gracefully():
+    """256 input halves cleanly 4 times; check a non-power-of-two still works
+    when divisible by 16."""
+    model = UNet(out_channels=10, channels=(4, 8, 16, 32, 64))
+    x = jnp.zeros((1, 96, 96, 3))
+    params = model.init(jax.random.key(0), x)
+    assert model.apply(params, x).shape == (1, 96, 96, 10)
+
+
+def test_forward_is_deterministic():
+    model = UNet(out_channels=10, channels=(4, 8, 16, 32, 64), num_res_units=1)
+    x = jnp.ones((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    out1 = model.apply(params, x)
+    out2 = model.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
