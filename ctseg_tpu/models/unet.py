@@ -40,6 +40,11 @@ class UNet(nn.Module):
     up_kernel_size: int = 3
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # When True, encoder/decoder activations are exposed through flax's
+    # perturb mechanism ('perturbations' collection) so GradCAM can take
+    # gradients w.r.t. them (ctseg_tpu/interpret/gradcam.py). No-op for
+    # normal training/inference.
+    capture_features: bool = False
 
     def _down(self, x: jnp.ndarray, features: int, stride: int, name: str):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
@@ -88,10 +93,16 @@ class UNet(nn.Module):
         skips = []
         for i in range(depth):
             x = self._down(x, self.channels[i], self.strides[i], name=f"down{i}")
+            if self.capture_features:
+                x = self.perturb(f"feat_down{i}", x)
+                self.sow("intermediates", f"feat_down{i}", x)
             skips.append(x)
 
         # Bottom block (stride 1).
         x = self._down(x, self.channels[depth], 1, name="bottom")
+        if self.capture_features:
+            x = self.perturb("feat_bottom", x)
+            self.sow("intermediates", "feat_bottom", x)
 
         # Decoder: concat skip, then upsample. Output channels per level
         # follow the MONAI recursion: level i emits channels[i-1]
@@ -101,6 +112,9 @@ class UNet(nn.Module):
             is_top = i == 0
             features = self.out_channels if is_top else self.channels[i - 1]
             x = self._up(x, features, self.strides[i], is_top, name=f"up{i}")
+            if self.capture_features and not is_top:
+                x = self.perturb(f"feat_up{i}", x)
+                self.sow("intermediates", f"feat_up{i}", x)
         return x
 
 
@@ -119,6 +133,7 @@ class SegmentationModel(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    capture_features: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -140,5 +155,6 @@ class SegmentationModel(nn.Module):
             num_res_units=self.num_res_units,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            capture_features=self.capture_features,
             name="unet",
         )(x)

@@ -1,0 +1,149 @@
+"""Training CLIs: base 2D, mixup 2D, and volumetric 3D runs.
+
+Argparse surface mirrors the reference trainers
+(capstone/training/base_trainer.py:150-209 + 249-284,
+ capstone/training/mixup_trainer.py:155-190,
+ capstone/volumetric/base_trainer.py:134-182):
+  --batch_size --transform_degree --filters --use_res_units --downsample
+  --lr --loss_fx --exclude_missing --use_full_data --use_wandb
+  --experiment_name --max_epochs
+plus framework-native flags: --mixup, --bf16, --data_dir, --checkpoint_dir.
+
+Usage:
+    python -m ctseg_tpu.training.cli train        [...]   # BaseUNet2D parity
+    python -m ctseg_tpu.training.cli train_mixup  [...]   # MixupUNet2D parity
+    python -m ctseg_tpu.training.cli train_3d     [...]   # BaseUNet3D parity
+"""
+
+from argparse import ArgumentParser
+from pathlib import Path
+
+import jax
+
+from ctseg_tpu.constants import EXPERIMENT_SEED
+from ctseg_tpu.data.datasets import PackedDataset2D
+from ctseg_tpu.data.pipeline import DevicePipeline2D
+from ctseg_tpu.parallel import make_mesh
+from ctseg_tpu.paths import DEFAULT_DATA_STORAGE
+from ctseg_tpu.training.logging import MetricLogger
+from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+
+def _add_common_args(parser: ArgumentParser) -> None:
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument(
+        "--transform_degree",
+        type=int,
+        default=0,
+        help="Augmentation pipeline degree (see transforms/pipelines.py).",
+    )
+    parser.add_argument(
+        "--filters", nargs=5, type=int, default=[64, 128, 256, 512, 1024]
+    )
+    parser.add_argument("--use_res_units", action="store_true", default=False)
+    parser.add_argument("--downsample", action="store_true", default=False)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument(
+        "--loss_fx", nargs="+", type=str, default=["Focal", "Dice"]
+    )
+    parser.add_argument("--exclude_missing", action="store_true", default=False)
+    parser.add_argument("--use_full_data", action="store_true", default=False)
+    parser.add_argument("--max_epochs", type=int, default=200)
+    parser.add_argument("--seed", type=int, default=EXPERIMENT_SEED)
+    parser.add_argument("--bf16", action="store_true", default=False)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--checkpoint_dir", type=str, default=None)
+    parser.add_argument("--use_wandb", action="store_true", default=False)
+    parser.add_argument("--experiment_name", type=str, default="UNet 2D")
+    parser.add_argument("--n_devices", type=int, default=None)
+
+
+def _config_from_args(args, mixup: bool) -> TrainConfig:
+    # use_res_units: 2 subunits for the base trainer, 1 for mixup ("works
+    # better for mixup", reference mixup_trainer.py:26-42).
+    num_res_units = (1 if mixup else 2) if args.use_res_units else 0
+    return TrainConfig(
+        filters=tuple(args.filters),
+        num_res_units=num_res_units,
+        downsample=args.downsample,
+        transform_degree=args.transform_degree,
+        lr=args.lr,
+        batch_size=args.batch_size,
+        loss_fx=tuple(args.loss_fx),
+        exclude_missing=args.exclude_missing,
+        mixup=mixup,
+        epochs=args.max_epochs,
+        seed=args.seed,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+    )
+
+
+def run_2d(args, mixup: bool) -> None:
+    config = _config_from_args(args, mixup=mixup)
+    data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
+    train = PackedDataset2D.load(data_dir / "train_packed.npz")
+    valid = PackedDataset2D.load(data_dir / "valid_packed.npz")
+    if args.use_full_data:
+        train = PackedDataset2D.concatenate(train, valid)
+
+    mesh = make_mesh(args.n_devices) if len(jax.devices()) > 1 else None
+    trainer = Trainer(config, mesh=mesh)
+    state = trainer.init_state()
+
+    logger = MetricLogger(
+        log_dir=args.checkpoint_dir or "logs",
+        use_wandb=args.use_wandb,
+        experiment_name=args.experiment_name,
+        config=config.as_dict(),
+    )
+    train_pipe = DevicePipeline2D(train, config.batch_size)
+    val_pipe = (
+        None if args.use_full_data else DevicePipeline2D(valid, config.batch_size)
+    )
+    state = trainer.fit(
+        state,
+        train_pipe,
+        val_pipe,
+        logger=logger,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=25 if args.checkpoint_dir else 0,
+    )
+
+    if args.use_full_data:
+        # Final model: save + test (reference base_trainer.py:244-246).
+        name = "model_mixup" if mixup else "model_large"
+        out = Path(DEFAULT_DATA_STORAGE) / name
+        trainer.save(out, state)
+        test = PackedDataset2D.load(data_dir / "test_packed.npz")
+        test_bs = min(config.batch_size, len(test))
+        metrics = trainer.eval_epoch(
+            state.params, DevicePipeline2D(test, test_bs), "test", logger
+        )
+        print({k: round(v, 4) for k, v in metrics.items()})
+    logger.close()
+
+
+def run_3d(args) -> None:
+    from ctseg_tpu.volumetric.trainer3d import run_3d_training
+
+    run_3d_training(args)
+
+
+def main():
+    parser = ArgumentParser(description="ctseg_tpu training")
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name in ("train", "train_mixup", "train_3d"):
+        p = sub.add_parser(name)
+        _add_common_args(p)
+    args = parser.parse_args()
+
+    if args.command == "train":
+        run_2d(args, mixup=False)
+    elif args.command == "train_mixup":
+        run_2d(args, mixup=True)
+    elif args.command == "train_3d":
+        run_3d(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,10 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
     spatial_dims: int = 2
     input_size: int = 256  # post-transform spatial size (reference: 256)
+    # Optional overrides for non-square/3D inputs; None derives them from
+    # input_size/spatial_dims/transform_degree.
+    input_shape: Any = None  # tuple of spatial dims
+    in_channels: Any = None
 
     def as_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -74,7 +78,7 @@ class TrainConfig:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
         d = dict(d)
-        for k in ("filters", "loss_fx"):
+        for k in ("filters", "loss_fx", "input_shape"):
             if k in d and isinstance(d[k], list):
                 d[k] = tuple(d[k])
         names = {f.name for f in dataclasses.fields(cls)}
@@ -89,7 +93,13 @@ class TrainState(NamedTuple):
 
 
 class Trainer:
-    def __init__(self, config: TrainConfig, mesh: Optional[jax.sharding.Mesh] = None):
+    def __init__(
+        self,
+        config: TrainConfig,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        train_transform=None,
+        test_transform=None,
+    ):
         self.config = config
         self.mesh = mesh
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
@@ -106,10 +116,10 @@ class Trainer:
         self.needs_dist_maps = "Boundary" in config.loss_fx
         self.dice = DiceMetric()
         size = (config.input_size,) * 2
-        self.train_transform = get_transform(
+        self.train_transform = train_transform or get_transform(
             config.transform_degree, train=True, size=size
         )
-        self.test_transform = get_transform(
+        self.test_transform = test_transform or get_transform(
             config.transform_degree, train=False, size=size
         )
         self.optimizer = optax.inject_hyperparams(optax.adam)(
@@ -143,12 +153,14 @@ class Trainer:
     # ------------------------------------------------------------------ state
     def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
         key = key if key is not None else jax.random.key(self.config.seed)
-        in_channels = transform_in_channels(self.config.transform_degree)
-        sample = jnp.zeros(
-            (1,)
-            + (self.config.input_size,) * self.config.spatial_dims
-            + (in_channels,)
+        in_channels = self.config.in_channels or transform_in_channels(
+            self.config.transform_degree
         )
+        spatial = tuple(
+            self.config.input_shape
+            or (self.config.input_size,) * self.config.spatial_dims
+        )
+        sample = jnp.zeros((1,) + spatial + (in_channels,))
         params = self.model.init(key, sample)
         opt_state = self.optimizer.init(params)
         state = TrainState(

@@ -1,0 +1,165 @@
+"""Device-resident 3D volume pipeline.
+
+Two modes:
+  - "resize" (reference parity): every volume nearest-resized once to a fixed
+    (H, W, D) grid at construction — the reference re-interpolates each item
+    every epoch inside the dataloader (capstone/volumetric/transforms.py:9-32,
+    datasets.py:24-48); here it happens exactly once, on device.
+  - "patch" (north star): volumes are kept at native resolution (depth-padded
+    to a bucket) and the pipeline yields random fixed-size patches — the
+    TPU-friendly way to train 3D without destroying resolution.
+
+Layout: images (N, H, W, D), labels (N, H, W, D) int, matching the
+reference's B x 1 x 256 x 256 x 96 convention (volumetric/base_trainer.py:88-99)
+in channel-last form.
+"""
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctseg_tpu.data.datasets import PackedDataset3D
+
+RESIZE_SHAPE = (256, 256, 96)  # (H, W, D) — reference volumetric grid
+
+
+def _nearest_resize_3d(vol: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """Nearest-neighbor 3D resize (reference uses F.interpolate nearest for
+    both image and mask, volumetric/transforms.py:15-23)."""
+    return jax.image.resize(vol, shape, method="nearest")
+
+
+class DevicePipeline3D:
+    """Whole-volume pipeline (resize mode)."""
+
+    def __init__(
+        self,
+        dataset: PackedDataset3D,
+        batch_size: int = 1,
+        shape: Tuple[int, int, int] = RESIZE_SHAPE,
+        sharding: Optional[jax.sharding.Sharding] = None,
+    ):
+        self.batch_size = batch_size
+        self.size = len(dataset)
+        h, w, d = shape
+
+        resize = jax.jit(lambda v: _nearest_resize_3d(v, (h, w, d)))
+        images, labels = [], []
+        for img, lab in zip(dataset.images, dataset.labels):
+            # host arrays are (D, H, W); device layout is (H, W, D)
+            img_hwd = jnp.moveaxis(jnp.asarray(img, jnp.float32), 0, -1)
+            lab_hwd = jnp.moveaxis(jnp.asarray(lab, jnp.float32), 0, -1)
+            images.append(resize(img_hwd))
+            labels.append(resize(lab_hwd).astype(jnp.int32))
+        device_put = (
+            (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
+        )
+        self.images = device_put(jnp.stack(images))
+        self.labels = device_put(jnp.stack(labels))
+        self.indicators = device_put(
+            jnp.asarray(np.stack(dataset.indicators), jnp.float32)
+        )
+
+    def num_batches(self) -> int:
+        return self.size // self.batch_size
+
+    def epoch(self, key: Optional[jax.Array] = None) -> Iterator:
+        perm = (
+            jax.random.permutation(key, self.size)
+            if key is not None
+            else jnp.arange(self.size)
+        )
+        for b in range(self.num_batches()):
+            idx = jax.lax.dynamic_slice_in_dim(
+                perm, b * self.batch_size, self.batch_size
+            )
+            yield (
+                jnp.take(self.images, idx, axis=0),
+                jnp.take(self.labels, idx, axis=0),
+                jnp.take(self.indicators, idx, axis=0),
+            )
+
+
+class PatchPipeline3D:
+    """Random-patch pipeline (north star): native-resolution patches.
+
+    Volumes are depth-padded to the max depth and stacked; each batch draws
+    `batch_size` (volume, corner) pairs and gathers fixed-size patches on
+    device. Patches that would cross the padded region are shifted inside
+    the valid extent.
+    """
+
+    def __init__(
+        self,
+        dataset: PackedDataset3D,
+        batch_size: int,
+        patch_size: Tuple[int, int, int] = (128, 128, 48),  # (H, W, D)
+        sharding: Optional[jax.sharding.Sharding] = None,
+    ):
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.size = len(dataset)
+
+        shapes = np.array([img.shape for img in dataset.images])  # (N, 3) DHW
+        self.max_d = int(shapes[:, 0].max())
+        h, w = int(shapes[0, 1]), int(shapes[0, 2])
+        assert (shapes[:, 1] == h).all() and (shapes[:, 2] == w).all(), (
+            "patch mode expects uniform H, W across volumes (crop first)"
+        )
+        imgs = np.zeros((self.size, h, w, self.max_d), np.float32)
+        labs = np.zeros((self.size, h, w, self.max_d), np.int32)
+        depths = np.zeros(self.size, np.int32)
+        for i, (img, lab) in enumerate(zip(dataset.images, dataset.labels)):
+            d = img.shape[0]
+            imgs[i, :, :, :d] = np.moveaxis(img, 0, -1)
+            labs[i, :, :, :d] = np.moveaxis(lab, 0, -1)
+            depths[i] = d
+
+        device_put = (
+            (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
+        )
+        self.images = device_put(jnp.asarray(imgs))
+        self.labels = device_put(jnp.asarray(labs))
+        self.depths = device_put(jnp.asarray(depths))
+        self.indicators = device_put(
+            jnp.asarray(np.stack(dataset.indicators), jnp.float32)
+        )
+
+        ph, pw, pd = patch_size
+        assert ph <= h and pw <= w and pd <= self.max_d
+
+        def sample_batch(key):
+            kv, kh, kw, kd = jax.random.split(key, 4)
+            vol_idx = jax.random.randint(kv, (batch_size,), 0, self.size)
+            top = jax.random.randint(kh, (batch_size,), 0, h - ph + 1)
+            left = jax.random.randint(kw, (batch_size,), 0, w - pw + 1)
+            dmax = jnp.maximum(jnp.take(self.depths, vol_idx) - pd, 0)
+            front = (
+                jax.random.uniform(kd, (batch_size,)) * (dmax + 1)
+            ).astype(jnp.int32)
+
+            def gather(i, t, l, f):
+                start = (
+                    t.astype(jnp.int32),
+                    l.astype(jnp.int32),
+                    f.astype(jnp.int32),
+                )
+                img = jax.lax.dynamic_slice(self.images[i], start, (ph, pw, pd))
+                lab = jax.lax.dynamic_slice(self.labels[i], start, (ph, pw, pd))
+                return img, lab
+
+            imgs_b, labs_b = jax.vmap(gather)(vol_idx, top, left, front)
+            inds_b = jnp.take(self.indicators, vol_idx, axis=0)
+            return imgs_b, labs_b, inds_b
+
+        self._sample = jax.jit(sample_batch)
+
+    def num_batches(self, steps_per_epoch: int = 100) -> int:
+        return steps_per_epoch
+
+    def epoch(self, key: Optional[jax.Array], steps: int = 100) -> Iterator:
+        key = key if key is not None else jax.random.key(0)
+        for s in range(steps):
+            yield self._sample(jax.random.fold_in(key, s))

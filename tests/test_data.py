@@ -1,0 +1,111 @@
+"""Data layer: split parity, domain model, converters, packed datasets."""
+
+import numpy as np
+import pytest
+
+from ctseg_tpu.constants import STRUCTURES
+from ctseg_tpu.data.datasets import (
+    PackedDataset2D,
+    PackedDataset3D,
+    _squash_masks_np,
+    pack_slices,
+    pack_volumes,
+)
+from ctseg_tpu.data.download import split_patient_ids
+from ctseg_tpu.data.process_miccai import convert_to_2d, convert_to_3d
+from ctseg_tpu.testing.synth import make_dataset, make_patient
+from ctseg_tpu.utils import miccai
+
+
+def test_split_is_deterministic_and_sized():
+    """The seed-42 split algorithm: shuffle sorted 1-479 ids, first 8 valid.
+    Exact-parity check: same algorithm as reference download.py:69-81."""
+    ids = list(range(1, 34)) + list(range(555, 570))
+    split = split_patient_ids(ids)
+    assert len(split["train"]) == 25
+    assert len(split["valid"]) == 8
+    assert len(split["test"]) == 15
+    # deterministic across calls
+    assert split == split_patient_ids(list(reversed(ids)))
+    # reproduces numpy's rng(42) Fisher-Yates on the sorted list
+    rng = np.random.default_rng(seed=42)
+    expected = sorted(i for i in ids if i < 480)
+    rng.shuffle(expected)
+    assert split["valid"] == expected[:8]
+    assert split["train"] == expected[8:]
+
+
+def test_patient_domain_model(tmp_path):
+    pdir = make_patient(
+        tmp_path / "0522c0001", shape=(12, 40, 40),
+        structures=["BrainStem", "Chiasm"], seed=3,
+    )
+    patient = miccai.Patient(pdir)
+    assert patient.image.data.shape == (1, 12, 40, 40)
+    assert patient.num_slides == 12
+    assert patient.structures["BrainStem"] is not None
+    assert patient.structures["Mandible"] is None
+    assert patient.landmarks is not None and len(patient.landmarks) == 3
+    np.testing.assert_allclose(patient.image.spacing, [3.0, 1.1, 1.1])
+
+    combined = patient.combine_segmentation_masks(["BrainStem", "Chiasm"])
+    assert combined.shape == (1, 12, 40, 40)
+    assert combined.max() == 1
+
+
+def test_patient_crop(tmp_path):
+    pdir = make_patient(tmp_path / "0522c0002", shape=(20, 512, 512), seed=1)
+    patient = miccai.Patient(pdir)
+    patient.crop_data()  # default boundaries for 512x512 scans
+    # x:(120,400) y:(55,335) z: ceil(0.32*20)=7 .. ceil(0.99*20)=20
+    assert patient.image.data.shape == (1, 13, 280, 280)
+
+
+def test_convert_and_pack_2d(tmp_path):
+    make_dataset(tmp_path / "raw", n_patients=2, shape=(10, 48, 48))
+    convert_to_2d(tmp_path / "raw", tmp_path / "out", crop=False)
+    ds = pack_slices(tmp_path / "out")
+    assert len(ds) > 0
+    assert ds.spatial_shape == (48, 48)
+    assert ds.labels.max() <= 9 and ds.labels.min() >= 0
+    # every packed slice has at least one structure (empty dropped)
+    assert (ds.labels.reshape(len(ds), -1).max(axis=1) > 0).all()
+    # round trip
+    ds.save(tmp_path / "packed.npz")
+    back = PackedDataset2D.load(tmp_path / "packed.npz")
+    np.testing.assert_array_equal(back.images, ds.images)
+    np.testing.assert_array_equal(back.labels, ds.labels)
+    np.testing.assert_array_equal(back.indicators, ds.indicators)
+    assert back.names == ds.names
+
+
+def test_convert_and_pack_3d(tmp_path):
+    make_dataset(tmp_path / "raw", n_patients=2, shape=(10, 48, 48))
+    convert_to_3d(tmp_path / "raw", tmp_path / "out", crop=False)
+    ds = pack_volumes(tmp_path / "out")
+    assert len(ds) == 2
+    assert ds.images[0].shape == (10, 48, 48)
+    ds.save(tmp_path / "packed3d.npz")
+    back = PackedDataset3D.load(tmp_path / "packed3d.npz")
+    np.testing.assert_array_equal(back.images[1], ds.images[1])
+
+
+def test_squash_masks_np_overlap():
+    masks = np.zeros((9, 4, 4), np.uint8)
+    masks[0, 0, 0] = 1  # class 1
+    masks[4, 0, 0] = 1  # class 5 overlaps -> wins
+    masks[8, 1, 1] = 1  # class 9
+    lab = _squash_masks_np(masks)
+    assert lab[0, 0] == 5
+    assert lab[1, 1] == 9
+    assert lab[2, 2] == 0
+
+
+def test_missing_structure_indicator(tmp_path):
+    make_patient(
+        tmp_path / "0522c0009", shape=(8, 32, 32),
+        structures=[s for s in STRUCTURES if s != "Chiasm"], seed=5,
+    )
+    convert_to_2d(tmp_path, tmp_path / "out", crop=False)
+    ds = pack_slices(tmp_path / "out")
+    assert (ds.indicators[:, 1] == 0).all()  # Chiasm column

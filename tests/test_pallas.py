@@ -1,0 +1,55 @@
+"""Pallas kernels vs their jnp references (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctseg_tpu.ops.pallas.instance_norm import (
+    fused_instance_norm_prelu,
+    reference_instance_norm_prelu,
+)
+from ctseg_tpu.ops.pallas.preprocess import _jnp_reference, fused_window_normalize
+
+
+def test_fused_window_normalize(rng):
+    x = jnp.asarray(
+        rng.integers(-1024, 3000, size=(4, 48, 64)).astype(np.float32)
+    )
+    out = fused_window_normalize(x, interpret=True)
+    ref = _jnp_reference(x)
+    assert out.shape == (4, 48, 64, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_instance_norm_prelu_forward(rng):
+    x = jnp.asarray(rng.normal(2.0, 3.0, size=(2, 16, 32, 16)).astype(np.float32))
+    alpha = jnp.asarray([0.25], jnp.float32)
+    out = fused_instance_norm_prelu(x, alpha, True)
+    ref = reference_instance_norm_prelu(x, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_instance_norm_prelu_grad(rng):
+    x = jnp.asarray(rng.normal(0.5, 2.0, size=(2, 8, 16, 8)).astype(np.float32))
+    alpha = jnp.asarray([0.25], jnp.float32)
+
+    def loss_fused(x, a):
+        return jnp.sum(jnp.square(fused_instance_norm_prelu(x, a, True)) * 0.5)
+
+    def loss_ref(x, a):
+        return jnp.sum(jnp.square(reference_instance_norm_prelu(x, a)) * 0.5)
+
+    gx_f, ga_f = jax.grad(loss_fused, argnums=(0, 1))(x, alpha)
+    gx_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(x, alpha)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r), rtol=1e-3, atol=1e-5)
+
+
+def test_fused_instance_norm_prelu_3d(rng):
+    """3D (N, D, H, W, C) inputs reshape through the same kernel."""
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 16, 8)).astype(np.float32))
+    alpha = jnp.asarray([0.25], jnp.float32)
+    out = fused_instance_norm_prelu(x, alpha, True)
+    ref = reference_instance_norm_prelu(x, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)

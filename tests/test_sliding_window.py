@@ -1,0 +1,79 @@
+"""Sliding-window inference: coverage, blending correctness, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctseg_tpu.inference import gaussian_importance, sliding_window_inference
+from ctseg_tpu.inference.sliding_window import compute_window_grid
+
+
+def test_window_grid_covers_volume():
+    starts = compute_window_grid((100, 100), (64, 64), overlap=0.5)
+    assert (starts >= 0).all()
+    covered = np.zeros((100, 100), bool)
+    for sy, sx in starts:
+        covered[sy : sy + 64, sx : sx + 64] = True
+    assert covered.all()
+    # last window flush with the edge
+    assert starts[:, 0].max() == 36 and starts[:, 1].max() == 36
+
+
+def test_gaussian_importance_peak_center():
+    g = np.asarray(gaussian_importance((32, 32)))
+    assert g.shape == (32, 32)
+    assert g.max() == pytest.approx(1.0)
+    cy = np.unravel_index(g.argmax(), g.shape)
+    assert cy in [(15, 15), (16, 16), (15, 16), (16, 15)]
+
+
+def test_identity_model_blends_to_input(rng):
+    """With apply_fn = identity over channels, blending must reproduce the
+    input exactly (weights cancel)."""
+    vol = jnp.asarray(rng.random((70, 75, 3)).astype(np.float32))
+    out = sliding_window_inference(
+        vol, lambda p: p, patch_size=(32, 32), overlap=0.5, batch_size=3
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), rtol=1e-4, atol=1e-5)
+
+
+def test_constant_model(rng):
+    vol = jnp.asarray(rng.random((50, 50, 1)).astype(np.float32))
+    out = sliding_window_inference(
+        vol,
+        lambda p: jnp.full(p.shape[:-1] + (4,), 2.5),
+        patch_size=(25, 25),
+        overlap=0.25,
+        batch_size=2,
+        out_channels=4,
+    )
+    assert out.shape == (50, 50, 4)
+    np.testing.assert_allclose(np.asarray(out), 2.5, rtol=1e-5)
+
+
+def test_3d_volume(rng):
+    vol = jnp.asarray(rng.random((20, 33, 34, 1)).astype(np.float32))
+    out = sliding_window_inference(
+        vol, lambda p: p, patch_size=(16, 16, 16), overlap=0.5, batch_size=2
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), rtol=1e-4, atol=1e-5)
+
+
+def test_patch_equals_volume_single_window(rng):
+    vol = jnp.asarray(rng.random((32, 32, 2)).astype(np.float32))
+    out = sliding_window_inference(
+        vol, lambda p: p * 3.0, patch_size=(32, 32), overlap=0.5, batch_size=1
+    )
+    np.testing.assert_allclose(np.asarray(out), 3.0 * np.asarray(vol), rtol=1e-5)
+
+
+def test_mesh_sharded_matches_unsharded(rng):
+    from ctseg_tpu.parallel import make_mesh
+
+    vol = jnp.asarray(rng.random((70, 70, 2)).astype(np.float32))
+    fn = lambda p: p * 2.0 + 1.0
+    ref = sliding_window_inference(vol, fn, (32, 32), batch_size=8)
+    mesh = make_mesh(8)
+    out = sliding_window_inference(vol, fn, (32, 32), batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
