@@ -101,6 +101,87 @@ def evaluate_2d(
     return result
 
 
+def evaluate_3d_sliding_window(
+    trainer: Trainer,
+    params,
+    dataset,
+    patch_size=(128, 128, 48),
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    window: bool = True,
+    with_hd95: bool = False,
+    mesh=None,
+) -> Dict:
+    """Whole-volume 3D evaluation via sliding-window Gaussian blending.
+
+    North-star capability (BASELINE.json "vols/min"): each native-resolution
+    volume is covered by overlapping patches; per-structure Dice (+HD95) are
+    computed on the full volume. `window` applies soft-tissue HU windowing
+    (matching the patch trainer); parity-mode resize checkpoints should pass
+    window=False.
+    """
+    from ctseg_tpu.inference.sliding_window import sliding_window_inference
+    from ctseg_tpu.transforms.windowing import apply_window
+
+    all_dice, all_valid, hd_rows = [], [], []
+    t0 = time.time()
+    for img, lab in zip(dataset.images, dataset.labels):
+        # host (D, H, W) -> device (H, W, D, 1)
+        vol = jnp.moveaxis(jnp.asarray(img, jnp.float32), 0, -1)[..., None]
+        if window:
+            vol = apply_window(vol, 350, 20, shift=True)
+        target = jnp.moveaxis(jnp.asarray(lab, jnp.int32), 0, -1)
+
+        # Pad spatial dims up to the patch size if needed.
+        pads = [
+            (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
+        ] + [(0, 0)]
+        vol_p = jnp.pad(vol, pads)
+        logits = sliding_window_inference(
+            vol_p,
+            lambda p: trainer.model.apply(params, p),
+            patch_size=patch_size,
+            overlap=overlap,
+            batch_size=batch_size,
+            mesh=mesh,
+        )
+        logits = logits[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
+        preds = squash_predictions(logits)
+
+        dice, valid = dice_per_sample_class(preds[None], target[None])
+        all_dice.append(np.asarray(dice))
+        all_valid.append(np.asarray(valid))
+        if with_hd95:
+            hd_rows.append(
+                hd95_per_structure(
+                    np.asarray(preds), np.asarray(target), NUM_CLASSES
+                )
+            )
+    elapsed = time.time() - t0
+
+    dice = jnp.asarray(np.concatenate(all_dice))
+    valid = jnp.asarray(np.concatenate(all_valid))
+    per_class, _ = masked_mean_batch(dice, valid)
+    per_class = np.asarray(per_class)
+    result = {
+        "mean_dice": float(per_class.mean()),
+        "per_structure_dice": {
+            s: float(v) for s, v in zip(STRUCTURES, per_class)
+        },
+        "vols_per_min": len(dataset.images) / max(elapsed / 60.0, 1e-9),
+        "num_volumes": len(dataset.images),
+    }
+    if with_hd95:
+        hd = np.stack(hd_rows)
+        with np.errstate(invalid="ignore"):
+            hd_mean = np.nanmean(hd, axis=0)
+        result["per_structure_hd95"] = {
+            s: (float(v) if np.isfinite(v) else None)
+            for s, v in zip(STRUCTURES, hd_mean)
+        }
+    return result
+
+
 def format_table(result: Dict) -> str:
     lines = [f"{'Structure':<18} {'Dice':>8}" + (
         f" {'HD95':>8}" if "per_structure_hd95" in result else "")]

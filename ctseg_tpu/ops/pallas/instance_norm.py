@@ -53,11 +53,13 @@ def _bwd_kernel(x_ref, g_ref, alpha_ref, dx_ref, dalpha_ref):
     dalpha_ref[0, 0] = jnp.sum(g * jnp.minimum(xhat, 0.0))
 
 
-def _pick_tile(c: int) -> int:
+def _pick_tile(c: int, hw: int, budget_bytes: int = 4 * 1024 * 1024) -> int:
+    """Largest channel tile dividing c whose (H*W*CT) block fits in budget
+    (3 live buffers in the backward pass + pipelining headroom)."""
     for t in (128, 64, 32, 16, 8):
-        if c % t == 0:
+        if c % t == 0 and hw * t * 4 <= budget_bytes:
             return t
-    return c
+    return min(c, 8) if c % 8 == 0 else c
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -84,7 +86,7 @@ def _forward(x, alpha, interpret):
     orig_shape = x.shape
     x4 = _reshape_4d(x)
     n, h, w, c = x4.shape
-    ct = _pick_tile(c)
+    ct = _pick_tile(c, h * w)
     y = pl.pallas_call(
         _fwd_kernel,
         grid=(n, c // ct),
@@ -109,7 +111,7 @@ def _bwd_rule(interpret, res, g):
     x4 = _reshape_4d(x)
     g4 = _reshape_4d(g)
     n, h, w, c = x4.shape
-    ct = _pick_tile(c)
+    ct = _pick_tile(c, h * w)
     dx, dalpha_parts = pl.pallas_call(
         _bwd_kernel,
         grid=(n, c // ct),

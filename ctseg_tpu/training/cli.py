@@ -56,9 +56,28 @@ def _add_common_args(parser: ArgumentParser) -> None:
     parser.add_argument("--use_wandb", action="store_true", default=False)
     parser.add_argument("--experiment_name", type=str, default="UNet 2D")
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument(
+        "--preset",
+        type=str,
+        default=None,
+        choices=["model_l", "model_m", "model_3d"],
+        help="Published configuration from the reference report (Table 1); "
+        "overrides the individual model flags.",
+    )
+    parser.add_argument("--profile", action="store_true", default=False)
 
 
 def _config_from_args(args, mixup: bool) -> TrainConfig:
+    if args.preset:
+        from ctseg_tpu.models.presets import PRESETS
+        import dataclasses
+
+        return dataclasses.replace(
+            PRESETS[args.preset],
+            epochs=args.max_epochs,
+            seed=args.seed,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+        )
     # use_res_units: 2 subunits for the base trainer, 1 for mixup ("works
     # better for mixup", reference mixup_trainer.py:26-42).
     num_res_units = (1 if mixup else 2) if args.use_res_units else 0
@@ -100,14 +119,34 @@ def run_2d(args, mixup: bool) -> None:
     val_pipe = (
         None if args.use_full_data else DevicePipeline2D(valid, config.batch_size)
     )
-    state = trainer.fit(
-        state,
-        train_pipe,
-        val_pipe,
-        logger=logger,
-        checkpoint_dir=args.checkpoint_dir,
-        checkpoint_every=25 if args.checkpoint_dir else 0,
+    callbacks = []
+    if args.checkpoint_dir:
+        from ctseg_tpu.training.callbacks import ExamplesLoggingCallback
+
+        callbacks.append(
+            ExamplesLoggingCallback(
+                valid, Path(args.checkpoint_dir) / "examples"
+            )
+        )
+    import contextlib
+
+    from ctseg_tpu.utils.profiling import trace
+
+    profile_ctx = (
+        trace(str(Path(args.checkpoint_dir or "logs") / "profile"))
+        if args.profile
+        else contextlib.nullcontext()
     )
+    with profile_ctx:
+        state = trainer.fit(
+            state,
+            train_pipe,
+            val_pipe,
+            logger=logger,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=25 if args.checkpoint_dir else 0,
+            callbacks=callbacks,
+        )
 
     if args.use_full_data:
         # Final model: save + test (reference base_trainer.py:244-246).

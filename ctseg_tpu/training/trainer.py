@@ -343,6 +343,7 @@ class Trainer:
         logger: Optional[MetricLogger] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
+        callbacks: Optional[list] = None,
     ) -> TrainState:
         epochs = epochs or self.config.epochs
         base_key = jax.random.key(self.config.seed)
@@ -369,6 +370,8 @@ class Trainer:
                            step=int(state.step))
             if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
                 self.save(checkpoint_dir, state)
+            for cb in callbacks or ():
+                cb(self, state, epoch)
         return state
 
     # ------------------------------------------------------------ checkpoints
