@@ -12,14 +12,14 @@ into the output, then normalized — MONAI-style blending, built TPU-first:
   - patches are processed in fixed-size batches to bound memory;
   - with a mesh, window batches are sharded over the 'data' axis (windows
     are embarrassingly parallel) and the scatter-add happens on gathered
-    results.
+    results; see inference/spatial_sharded.py for the depth-sharded
+    halo-exchange variant that also shards the volume itself.
 
 Works for 2D (H, W) and 3D (D, H, W) volumes with any channel count.
 """
 
 import itertools
 import math
-from functools import partial
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -71,6 +71,90 @@ def gaussian_importance(
     return jnp.asarray(out, dtype=dtype)
 
 
+def blend_accumulate(
+    volume: jnp.ndarray,
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    starts: np.ndarray,
+    patch_size: Tuple[int, ...],
+    importance: jnp.ndarray,
+    out_channels: int,
+    batch_size: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Core scatter-add: run the windows at `starts`, return (acc, weight).
+
+    Traceable (usable inside jit / shard_map); `starts` is static (numpy).
+    """
+    ndim = len(patch_size)
+    spatial_shape = volume.shape[:ndim]
+    n_windows = len(starts)
+    importance_c = importance[..., None]
+
+    n_batches = math.ceil(n_windows / batch_size)
+    pad = n_batches * batch_size - n_windows
+    starts_padded = np.concatenate(
+        [starts, np.repeat(starts[-1:], pad, axis=0)], axis=0
+    ).astype(np.int32)
+    valid = np.concatenate(
+        [np.ones(n_windows, np.float32), np.zeros(pad, np.float32)]
+    )
+    starts_dev = jnp.asarray(starts_padded).reshape(n_batches, batch_size, ndim)
+    valid_dev = jnp.asarray(valid).reshape(n_batches, batch_size)
+
+    def gather_patch(start):
+        idx = tuple(start[i] for i in range(ndim)) + (jnp.int32(0),)
+        return jax.lax.dynamic_slice(volume, idx, patch_size + (volume.shape[-1],))
+
+    def scan_body(carry, xs):
+        acc, weight = carry
+        batch_starts, batch_valid = xs
+        patches = jax.vmap(gather_patch)(batch_starts)
+        if mesh is not None:
+            # Shard the window batch over the mesh's data axis: windows are
+            # embarrassingly parallel; XLA gathers logits for the scatter.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            patches = jax.lax.with_sharding_constraint(
+                patches, NamedSharding(mesh, P("data"))
+            )
+        logits = apply_fn(patches).astype(jnp.float32)
+        weighted = logits * importance_c[None]
+
+        def scatter_one(i, carry):
+            acc, weight = carry
+            start = batch_starts[i]
+            zero = jnp.int32(0)
+            idx = tuple(start[j] for j in range(ndim)) + (zero,)
+            v = batch_valid[i]
+            acc_patch = jax.lax.dynamic_slice(
+                acc, idx, patch_size + (out_channels,)
+            )
+            acc = jax.lax.dynamic_update_slice(
+                acc, acc_patch + weighted[i] * v, idx
+            )
+            w_patch = jax.lax.dynamic_slice(
+                weight, idx[:-1] + (zero,), patch_size + (1,)
+            )
+            weight = jax.lax.dynamic_update_slice(
+                weight, w_patch + importance_c * v, idx[:-1] + (zero,)
+            )
+            return acc, weight
+
+        acc, weight = jax.lax.fori_loop(0, batch_size, scatter_one, (acc, weight))
+        return (acc, weight), None
+
+    # Derive the zero initializers from the volume so they inherit its
+    # varying-manual-axes status under shard_map (plain jnp.zeros would be
+    # device-invariant and trip the scan carry type check).
+    tie = 0.0 * volume[..., :1].astype(jnp.float32)
+    acc = jnp.zeros(spatial_shape + (out_channels,), jnp.float32) + tie
+    weight = jnp.zeros(spatial_shape + (1,), jnp.float32) + tie
+    (acc, weight), _ = jax.lax.scan(
+        scan_body, (acc, weight), (starts_dev, valid_dev)
+    )
+    return acc, weight
+
+
 def sliding_window_inference(
     volume: jnp.ndarray,
     apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -88,11 +172,10 @@ def sliding_window_inference(
     """
     patch_size = tuple(int(p) for p in patch_size)
     ndim = len(patch_size)
-    spatial_shape = volume.shape[:ndim]
     assert volume.ndim == ndim + 1, "volume must be (*spatial, C)"
+    spatial_shape = volume.shape[:ndim]
 
     starts = compute_window_grid(spatial_shape, patch_size, overlap)
-    n_windows = len(starts)
 
     if out_channels is None:
         probe = apply_fn(volume[tuple(slice(0, p) for p in patch_size)][None] * 0)
@@ -102,76 +185,12 @@ def sliding_window_inference(
         importance = gaussian_importance(patch_size)
     else:
         importance = jnp.ones(patch_size, jnp.float32)
-    importance_c = importance[..., None]  # broadcast over channels
-
-    # Pad the window list to a multiple of batch_size with repeats of the
-    # last window (their contributions are idempotent under blending only if
-    # excluded — so mask padded windows' weights to 0).
-    n_batches = math.ceil(n_windows / batch_size)
-    n_padded = n_batches * batch_size
-    pad = n_padded - n_windows
-    starts_padded = np.concatenate(
-        [starts, np.repeat(starts[-1:], pad, axis=0)], axis=0
-    )
-    valid = np.concatenate(
-        [np.ones(n_windows, np.float32), np.zeros(pad, np.float32)]
-    )
-    starts_dev = jnp.asarray(starts_padded).reshape(n_batches, batch_size, ndim)
-    valid_dev = jnp.asarray(valid).reshape(n_batches, batch_size)
-
-    batch_sharding = mesh is not None
-
-    def gather_patch(start):
-        idx = tuple(start[i] for i in range(ndim)) + (jnp.int32(0),)
-        return jax.lax.dynamic_slice(
-            volume, idx, patch_size + (volume.shape[-1],)
-        )
-
-    def scan_body(carry, xs):
-        acc, weight = carry
-        batch_starts, batch_valid = xs  # (B, ndim), (B,)
-        patches = jax.vmap(gather_patch)(batch_starts)  # (B, *patch, C_in)
-        if batch_sharding:
-            # Shard the window batch over the mesh's data axis: windows are
-            # embarrassingly parallel; XLA gathers logits for the scatter.
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            patches = jax.lax.with_sharding_constraint(
-                patches, NamedSharding(mesh, P("data"))
-            )
-        logits = apply_fn(patches).astype(jnp.float32)  # (B, *patch, C_out)
-        weighted = logits * importance_c[None]
-
-        def scatter_one(i, carry):
-            acc, weight = carry
-            start = batch_starts[i]
-            zero = jnp.int32(0)
-            idx = tuple(start[j] for j in range(ndim)) + (zero,)
-            v = batch_valid[i]
-            acc_patch = jax.lax.dynamic_slice(
-                acc, idx, patch_size + (out_channels,)
-            )
-            acc = jax.lax.dynamic_update_slice(
-                acc, acc_patch + weighted[i] * v, idx
-            )
-            w_idx = tuple(start[j] for j in range(ndim)) + (zero,)
-            w_patch = jax.lax.dynamic_slice(weight, w_idx, patch_size + (1,))
-            weight = jax.lax.dynamic_update_slice(
-                weight, w_patch + importance_c * v, w_idx
-            )
-            return acc, weight
-
-        acc, weight = jax.lax.fori_loop(
-            0, batch_size, scatter_one, (acc, weight)
-        )
-        return (acc, weight), None
 
     @jax.jit
-    def run(volume_unused):
-        acc = jnp.zeros(spatial_shape + (out_channels,), jnp.float32)
-        weight = jnp.zeros(spatial_shape + (1,), jnp.float32)
-        (acc, weight), _ = jax.lax.scan(
-            scan_body, (acc, weight), (starts_dev, valid_dev)
+    def run(volume):
+        acc, weight = blend_accumulate(
+            volume, apply_fn, starts, patch_size, importance,
+            out_channels, batch_size, mesh,
         )
         return acc / jnp.maximum(weight, 1e-30)
 

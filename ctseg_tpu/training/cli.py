@@ -65,6 +65,13 @@ def _add_common_args(parser: ArgumentParser) -> None:
         "overrides the individual model flags.",
     )
     parser.add_argument("--profile", action="store_true", default=False)
+    parser.add_argument(
+        "--resume",
+        type=str,
+        default=None,
+        help="Checkpoint directory to resume training from (params, opt "
+        "state, plateau state, and step all restore).",
+    )
 
 
 def _config_from_args(args, mixup: bool) -> TrainConfig:
@@ -106,8 +113,12 @@ def run_2d(args, mixup: bool) -> None:
         train = PackedDataset2D.concatenate(train, valid)
 
     mesh = make_mesh(args.n_devices) if len(jax.devices()) > 1 else None
-    trainer = Trainer(config, mesh=mesh)
-    state = trainer.init_state()
+    if args.resume:
+        trainer, state = Trainer.restore(args.resume, mesh=mesh)
+        config = trainer.config
+    else:
+        trainer = Trainer(config, mesh=mesh)
+        state = trainer.init_state()
 
     logger = MetricLogger(
         log_dir=args.checkpoint_dir or "logs",
