@@ -37,12 +37,16 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-(sample, channel) normalization over spatial dims, no affine.
 
     Matches torch InstanceNormNd defaults (affine=False, eps=1e-5, biased
-    variance). x: (N, *spatial, C).
+    variance). x: (N, *spatial, C). Statistics are always accumulated in
+    float32 — bf16 spatial means collapse small-batch stats (SURVEY.md §7)
+    — and the result is cast back to the input dtype.
     """
+    dtype = x.dtype
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
 
 
 class PReLU(nn.Module):

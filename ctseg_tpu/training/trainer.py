@@ -309,27 +309,34 @@ class Trainer:
         return jax.device_put(batch, self._batch_sharding)
 
     def train_epoch(self, state, pipeline, key, logger=None):
-        sums: Dict[str, float] = {}
+        # Metrics accumulate as lazy device scalars; the only host sync is
+        # the single fetch at epoch end (per-step float() fetches would
+        # serialize dispatch and stall the device between steps).
+        sums: Dict[str, jnp.ndarray] = {}
         count = 0
         for batch in pipeline.epoch(key):
             state, metrics = self._train_step(state, self.shard_batch(batch), key)
             count += 1
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        means = {f"train/{k}": v / max(count, 1) for k, v in sums.items()}
+                sums[k] = v if k not in sums else sums[k] + v
+        means = {
+            f"train/{k}": float(v) / max(count, 1) for k, v in sums.items()
+        }
         if logger is not None:
             logger.log(means, step=int(state.step))
         return state, means
 
     def eval_epoch(self, params, pipeline, prefix="val", logger=None, step=0):
-        sums: Dict[str, float] = {}
+        sums: Dict[str, jnp.ndarray] = {}
         count = 0
         for batch in pipeline.epoch(None):
             metrics = self._eval_step(params, self.shard_batch(batch))
             count += 1
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        means = {f"{prefix}/{k}": v / max(count, 1) for k, v in sums.items()}
+                sums[k] = v if k not in sums else sums[k] + v
+        means = {
+            f"{prefix}/{k}": float(v) / max(count, 1) for k, v in sums.items()
+        }
         if logger is not None:
             logger.log(means, step=step)
         return means
