@@ -37,14 +37,22 @@ def make_patient(
     for i, structure in enumerate(STRUCTURES):
         if structure not in chosen:
             continue
-        cz = rng.integers(d // 4, 3 * d // 4)
-        cy = rng.integers(h // 4, 3 * h // 4)
-        cx = rng.integers(w // 4, 3 * w // 4)
-        rz, ry, rx = rng.integers(2, max(3, d // 8)), rng.integers(4, h // 6), rng.integers(4, w // 6)
+        # Classes must be *identifiable*, like real anatomy: each structure
+        # has a characteristic location (3x3 grid anchor + jitter) and a
+        # characteristic density, so a segmenter can actually learn the
+        # class map rather than only "foreground".
+        ay = (i % 3 + 1) / 4.0
+        ax = (i // 3 + 1) / 4.0
+        cz = d // 2 + rng.integers(-d // 8, d // 8 + 1)
+        cy = int(ay * h) + rng.integers(-h // 12, h // 12 + 1)
+        cx = int(ax * w) + rng.integers(-w // 12, w // 12 + 1)
+        rz = rng.integers(2, max(3, d // 6))
+        ry = rng.integers(h // 16 + 2, h // 9 + 3)
+        rx = rng.integers(w // 16 + 2, w // 9 + 3)
         mask = (
             ((zz - cz) / rz) ** 2 + ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
         ) <= 1.0
-        img[mask] = img[mask] + 60.0  # organs slightly denser
+        img[mask] = img[mask] + 40.0 + 22.0 * i  # class-specific density
         # NRRD files store (H, W, D) like the real dataset.
         nrrd_io.write(
             directory / "structures" / f"{structure}.nrrd",
