@@ -41,8 +41,10 @@ def make_patient(
         # has a characteristic location (3x3 grid anchor + jitter) and a
         # characteristic density, so a segmenter can actually learn the
         # class map rather than only "foreground".
-        ay = (i % 3 + 1) / 4.0
-        ax = (i // 3 + 1) / 4.0
+        # anchors stay inside the default anatomical crop box
+        # (x 120-400, y 55-335 of a 512 grid -> fractions ~0.23-0.78 / 0.11-0.65)
+        ay = 0.30 + 0.17 * (i % 3)
+        ax = 0.30 + 0.15 * (i // 3)
         cz = d // 2 + rng.integers(-d // 8, d // 8 + 1)
         cy = int(ay * h) + rng.integers(-h // 12, h // 12 + 1)
         cx = int(ax * w) + rng.integers(-w // 12, w // 12 + 1)

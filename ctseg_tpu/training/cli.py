@@ -126,9 +126,11 @@ def run_2d(args, mixup: bool) -> None:
         experiment_name=args.experiment_name,
         config=config.as_dict(),
     )
-    train_pipe = DevicePipeline2D(train, config.batch_size)
+    train_pipe = DevicePipeline2D(train, min(config.batch_size, len(train)))
     val_pipe = (
-        None if args.use_full_data else DevicePipeline2D(valid, config.batch_size)
+        None
+        if args.use_full_data
+        else DevicePipeline2D(valid, min(config.batch_size, len(valid)))
     )
     callbacks = []
     if args.checkpoint_dir:
