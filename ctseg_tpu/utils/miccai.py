@@ -101,6 +101,28 @@ class Volume:
             arr = np.transpose(arr, (2, 3, 1, 0))  # back to (H, W, D, C)
         return arr
 
+    def as_grid(
+        self, nrow: int = 4, pad_value: float = 1.0, reverse_dims: bool = True
+    ) -> np.ndarray:
+        """Tile the D slices into a (nH, nW[, C]) gallery image
+        (reference miccai.py:111-123, sans torchvision)."""
+        data = np.asarray(self.data, dtype=np.float64)  # (1, D, H, W)
+        d, h, w = data.shape[1], data.shape[2], data.shape[3]
+        ncol = nrow
+        nrows = -(-d // ncol)
+        pad = 2
+        grid = np.full(
+            (nrows * (h + pad) + pad, ncol * (w + pad) + pad), pad_value
+        )
+        for i in range(d):
+            r, c = divmod(i, ncol)
+            y = r * (h + pad) + pad
+            x = c * (w + pad) + pad
+            grid[y : y + h, x : x + w] = data[0, i]
+        if reverse_dims:
+            return grid[..., None]  # (nH, nW, C=1)
+        return grid[None]  # (C=1, nH, nW)
+
 
 class Patient:
     """One PDDCA patient directory: img.nrrd + structures/*.nrrd + *.fcsv."""

@@ -113,6 +113,33 @@ def plot_windowed(image):
     return fig
 
 
+def notebook_interact(patient):
+    """ipywidgets slice browser over a Patient (reference visualize.py:41-55).
+
+    Optional: requires ipywidgets + matplotlib (notebook environments only).
+    """
+    import ipywidgets as widgets
+    from ctseg_tpu.constants import STRUCTURES
+
+    def show(index, structures):
+        import numpy as np
+
+        image = patient.image.as_numpy()[0, index]
+        labels = np.zeros_like(image, dtype=np.uint8)
+        for s in structures:
+            vol = patient.structures[s]
+            if vol is not None:
+                mask = vol.as_numpy()[0, index] > 0
+                labels[mask] = STRUCTURES.index(s) + 1
+        plot_slide(image, labels if structures else None)
+
+    widgets.interact(
+        show,
+        index=widgets.IntSlider(min=0, max=patient.num_slides - 1),
+        structures=widgets.SelectMultiple(options=STRUCTURES, value=()),
+    )
+
+
 def plot_region_distribution(image, labels):
     import matplotlib.pyplot as plt
 
