@@ -23,7 +23,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 A100_MONAI_ESTIMATE = 420.0  # patches/sec, torch AMP, see module docstring

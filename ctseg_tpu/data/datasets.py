@@ -14,9 +14,8 @@ writes), in sorted order for cross-OS determinism (reference
 capstone/data/datasets.py:29-32).
 """
 
-import json
 from pathlib import Path
-from typing import Dict, Iterator, Optional, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import numpy as np
 

@@ -11,7 +11,6 @@ from typing import Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ctseg_tpu.data.datasets import PackedDataset2D
 

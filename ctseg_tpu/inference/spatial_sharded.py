@@ -22,7 +22,6 @@ local_d a multiple of the window step and local_d >= patch_depth.
 """
 
 import math
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax

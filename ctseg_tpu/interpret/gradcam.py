@@ -11,7 +11,7 @@ gradient w.r.t. the perturbation IS the gradient w.r.t. the activation —
 no module surgery, no hooks, one extra `jax.grad`.
 """
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ distances, computed from EDT of each mask's boundary. Supports anisotropic
 voxel spacing (z-first, matching the Volume layout).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 from scipy.ndimage import binary_erosion, distance_transform_edt

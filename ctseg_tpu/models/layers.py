@@ -12,7 +12,7 @@ i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both kernel and bias) so training
 dynamics match the reference.
 """
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

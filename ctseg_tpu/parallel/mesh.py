@@ -13,7 +13,7 @@ mesh spans all processes' devices and per-host batches combine with
 `jax.make_array_from_process_local_data`.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

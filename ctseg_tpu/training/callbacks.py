@@ -8,7 +8,6 @@ a run is active), instead of W&B-only.
 """
 
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,10 +6,9 @@ be rebuilt from the file alone. Format: a directory holding a flax-msgpack
 state pytree plus an hparams JSON — host-portable, dependency-free.
 """
 
-import dataclasses
 import json
 from pathlib import Path
-from typing import Any, Dict, Tuple, Union
+from typing import Any, Dict, Union
 
 import flax.serialization
 import jax

@@ -20,7 +20,6 @@ shapes static (fixed batch, fixed crop size).
 
 import dataclasses
 import time
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ The reference has no tracing/profiling beyond tqdm. Here:
 
 import contextlib
 import time
-from typing import Optional
 
 import jax
 

@@ -6,7 +6,7 @@ notebook-oriented helpers (plot_slide/plot_windowed/plot_region_distribution,
 visualize.py:9-114).
 """
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

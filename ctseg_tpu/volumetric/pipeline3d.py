@@ -130,12 +130,15 @@ class PatchPipeline3D:
         ph, pw, pd = patch_size
         assert ph <= h and pw <= w and pd <= self.max_d
 
-        def sample_batch(key):
+        # The dataset arrays are jit ARGUMENTS, not closed-over values —
+        # closures over large concrete arrays get baked into the program as
+        # constants (gigabytes shipped to the compiler).
+        def sample_batch(images, labels, depths, indicators, key):
             kv, kh, kw, kd = jax.random.split(key, 4)
             vol_idx = jax.random.randint(kv, (batch_size,), 0, self.size)
             top = jax.random.randint(kh, (batch_size,), 0, h - ph + 1)
             left = jax.random.randint(kw, (batch_size,), 0, w - pw + 1)
-            dmax = jnp.maximum(jnp.take(self.depths, vol_idx) - pd, 0)
+            dmax = jnp.maximum(jnp.take(depths, vol_idx) - pd, 0)
             front = (
                 jax.random.uniform(kd, (batch_size,)) * (dmax + 1)
             ).astype(jnp.int32)
@@ -146,15 +149,18 @@ class PatchPipeline3D:
                     l.astype(jnp.int32),
                     f.astype(jnp.int32),
                 )
-                img = jax.lax.dynamic_slice(self.images[i], start, (ph, pw, pd))
-                lab = jax.lax.dynamic_slice(self.labels[i], start, (ph, pw, pd))
+                img = jax.lax.dynamic_slice(images[i], start, (ph, pw, pd))
+                lab = jax.lax.dynamic_slice(labels[i], start, (ph, pw, pd))
                 return img, lab
 
             imgs_b, labs_b = jax.vmap(gather)(vol_idx, top, left, front)
-            inds_b = jnp.take(self.indicators, vol_idx, axis=0)
+            inds_b = jnp.take(indicators, vol_idx, axis=0)
             return imgs_b, labs_b, inds_b
 
-        self._sample = jax.jit(sample_batch)
+        sample_jit = jax.jit(sample_batch)
+        self._sample = lambda key: sample_jit(
+            self.images, self.labels, self.depths, self.indicators, key
+        )
 
     def num_batches(self, steps_per_epoch: int = 100) -> int:
         return steps_per_epoch

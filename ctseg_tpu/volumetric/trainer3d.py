@@ -28,11 +28,7 @@ from ctseg_tpu.paths import DEFAULT_DATA_STORAGE
 from ctseg_tpu.training.logging import MetricLogger
 from ctseg_tpu.training.trainer import TrainConfig, Trainer
 from ctseg_tpu.transforms.windowing import apply_window
-from ctseg_tpu.volumetric.pipeline3d import (
-    RESIZE_SHAPE,
-    DevicePipeline3D,
-    PatchPipeline3D,
-)
+from ctseg_tpu.volumetric.pipeline3d import RESIZE_SHAPE, DevicePipeline3D
 
 
 def _identity_transform(key, image, label):

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax.scipy.ndimage import map_coordinates
 
 from ctseg_tpu.transforms import augment

@@ -3,14 +3,11 @@
 import sys
 from unittest import mock
 
-import pytest
-
 from ctseg_tpu.training import cli
 
 
 def _parse(argv):
     with mock.patch.object(sys, "argv", ["cli"] + argv):
-        parser_main = cli.main
         # Build the parser the same way main() does, but only parse.
         from argparse import ArgumentParser
 

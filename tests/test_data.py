@@ -1,7 +1,6 @@
 """Data layer: split parity, domain model, converters, packed datasets."""
 
 import numpy as np
-import pytest
 
 from ctseg_tpu.constants import STRUCTURES
 from ctseg_tpu.data.datasets import (

@@ -4,7 +4,6 @@ paths. This is the framework-level integration test the reference never had
 (SURVEY.md §4)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -1,7 +1,6 @@
 """Evaluation module: dataset-level Dice aggregation + 3D sliding-window."""
 
 import numpy as np
-import pytest
 
 from ctseg_tpu.data.datasets import PackedDataset2D, PackedDataset3D
 from ctseg_tpu.inference.evaluate import (

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from ctseg_tpu.constants import NUM_CLASSES
-from ctseg_tpu.metrics import DiceMetric, dice_per_sample_class, masked_mean_batch
+from ctseg_tpu.metrics import DiceMetric, masked_mean_batch
 
 C = NUM_CLASSES
 

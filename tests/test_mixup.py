@@ -4,9 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from ctseg_tpu.constants import ANNOTATION_COUNT
 from ctseg_tpu.training.mixup import (
     mixup_tensors,
     plain_mixup,

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ctseg_tpu.ops.pallas.instance_norm import (
     fused_instance_norm_prelu,

@@ -1,6 +1,5 @@
 """Sliding-window inference: coverage, blending correctness, sharding."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

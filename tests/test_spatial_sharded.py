@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ctseg_tpu.inference.spatial_sharded import sliding_window_inference_spatial
 from ctseg_tpu.parallel import make_mesh
