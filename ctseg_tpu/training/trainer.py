@@ -70,6 +70,10 @@ class TrainConfig:
     # input_size/spatial_dims/transform_degree.
     input_shape: Any = None  # tuple of spatial dims
     in_channels: Any = None
+    # 3D transform selection ("resize" parity / "patch" north star); makes
+    # checkpoints self-describing so Trainer.restore rebuilds 3D trainers
+    # with the right volumetric transforms.
+    volumetric_mode: Any = None
 
     def as_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -114,6 +118,19 @@ class Trainer:
         )
         self.needs_dist_maps = "Boundary" in config.loss_fx
         self.dice = DiceMetric()
+        if config.spatial_dims == 3 and train_transform is None:
+            from ctseg_tpu.volumetric.trainer3d import (
+                _identity_transform,
+                _windowed_patch_transform,
+            )
+
+            vt = (
+                _windowed_patch_transform
+                if config.volumetric_mode == "patch"
+                else _identity_transform
+            )
+            train_transform = train_transform or vt
+            test_transform = test_transform or vt
         size = (config.input_size,) * 2
         self.train_transform = train_transform or get_transform(
             config.transform_degree, train=True, size=size

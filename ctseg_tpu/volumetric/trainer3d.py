@@ -72,6 +72,10 @@ def make_trainer_3d(
             # patience preserves that behavior through the shared machinery
             plateau_patience=10_000,
         )
+    import dataclasses
+
+    if config.volumetric_mode != mode:
+        config = dataclasses.replace(config, volumetric_mode=mode)
     transform = (
         _identity_transform if mode == "resize" else _windowed_patch_transform
     )
