@@ -1,12 +1,11 @@
 import json
 from ctseg_tpu.data.datasets import PackedDataset3D
 from ctseg_tpu.training.trainer import Trainer
-from ctseg_tpu.volumetric.trainer3d import _windowed_patch_transform
 from ctseg_tpu.inference.evaluate import evaluate_3d_sliding_window, format_table
 
 test = PackedDataset3D.load('/tmp/tpu_run/storage/miccai_3d/test_packed.npz')
-tr, state = Trainer.restore('/tmp/tpu_run/run_3d')
-# restore with the volumetric transform (restore builds 2D pipelines by default)
+tr, state = Trainer.restore('/tmp/tpu_run/run_3d')  # volumetric_mode in ckpt... (saved before the field; default resize)
+from ctseg_tpu.volumetric.trainer3d import _windowed_patch_transform
 tr.train_transform = tr.test_transform = _windowed_patch_transform
 res = evaluate_3d_sliding_window(tr, state.params, test, patch_size=(128,128,16),
                                  overlap=0.5, batch_size=8, with_hd95=True)

@@ -120,8 +120,12 @@ def evaluate_3d_sliding_window(
     (matching the patch trainer); parity-mode resize checkpoints should pass
     window=False.
     """
-    from ctseg_tpu.inference.sliding_window import sliding_window_inference
+    from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
     from ctseg_tpu.transforms.windowing import apply_window
+
+    # One compiled runner per distinct padded volume shape; params are a jit
+    # argument so all volumes of one shape share a single compilation.
+    runners = {}
 
     all_dice, all_valid, hd_rows = [], [], []
     t0 = time.time()
@@ -137,14 +141,18 @@ def evaluate_3d_sliding_window(
             (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
         ] + [(0, 0)]
         vol_p = jnp.pad(vol, pads)
-        logits = sliding_window_inference(
-            vol_p,
-            lambda p: trainer.model.apply(params, p),
-            patch_size=patch_size,
-            overlap=overlap,
-            batch_size=batch_size,
-            mesh=mesh,
-        )
+        shape_key = vol_p.shape[:3]
+        if shape_key not in runners:
+            runners[shape_key] = build_sliding_window_fn(
+                trainer.model.apply,
+                shape_key,
+                patch_size,
+                overlap=overlap,
+                batch_size=batch_size,
+                out_channels=NUM_CLASSES,
+                mesh=mesh,
+            )
+        logits = runners[shape_key](params, vol_p)
         logits = logits[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
         preds = squash_predictions(logits)
 

@@ -155,6 +155,42 @@ def blend_accumulate(
     return acc, weight
 
 
+def build_sliding_window_fn(
+    apply_fn: Callable,
+    spatial_shape: Sequence[int],
+    patch_size: Sequence[int],
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    mode: str = "gaussian",
+    out_channels: int = 10,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Callable:
+    """Build a reusable jitted runner: (params, volume) -> blended logits.
+
+    `apply_fn(params, patches)` takes the model params explicitly so they
+    stay jit ARGUMENTS — closing over them would bake all weights into the
+    program as constants AND defeat the jit cache, recompiling per volume.
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    spatial_shape = tuple(int(s) for s in spatial_shape)
+    starts = compute_window_grid(spatial_shape, patch_size, overlap)
+    if mode == "gaussian":
+        importance = gaussian_importance(patch_size)
+    else:
+        importance = jnp.ones(patch_size, jnp.float32)
+
+    @jax.jit
+    def run(params, volume):
+        acc, weight = blend_accumulate(
+            volume,
+            lambda patches: apply_fn(params, patches),
+            starts, patch_size, importance, out_channels, batch_size, mesh,
+        )
+        return acc / jnp.maximum(weight, 1e-30)
+
+    return run
+
+
 def sliding_window_inference(
     volume: jnp.ndarray,
     apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -168,30 +204,19 @@ def sliding_window_inference(
     """Blend `apply_fn` logits over a window grid covering `volume`.
 
     volume: (*spatial, C_in). apply_fn: (N, *patch, C_in) -> (N, *patch, C_out).
-    Returns (*spatial, C_out) blended logits.
+    Returns (*spatial, C_out) blended logits. One-shot convenience API; for
+    repeated volumes of the same shape use `build_sliding_window_fn` (this
+    wrapper recompiles per call).
     """
     patch_size = tuple(int(p) for p in patch_size)
     ndim = len(patch_size)
     assert volume.ndim == ndim + 1, "volume must be (*spatial, C)"
-    spatial_shape = volume.shape[:ndim]
-
-    starts = compute_window_grid(spatial_shape, patch_size, overlap)
-
     if out_channels is None:
         probe = apply_fn(volume[tuple(slice(0, p) for p in patch_size)][None] * 0)
         out_channels = probe.shape[-1]
-
-    if mode == "gaussian":
-        importance = gaussian_importance(patch_size)
-    else:
-        importance = jnp.ones(patch_size, jnp.float32)
-
-    @jax.jit
-    def run(volume):
-        acc, weight = blend_accumulate(
-            volume, apply_fn, starts, patch_size, importance,
-            out_channels, batch_size, mesh,
-        )
-        return acc / jnp.maximum(weight, 1e-30)
-
-    return run(volume)
+    run = build_sliding_window_fn(
+        lambda _, patches: apply_fn(patches),
+        volume.shape[:ndim], patch_size, overlap, batch_size, mode,
+        out_channels, mesh,
+    )
+    return run(None, volume)
