@@ -127,6 +127,79 @@ def _gaussian_blur_1d(x: jnp.ndarray, sigma: float, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
+def _shear_pass_vertical(img, alpha_c, beta_c, ty, order):
+    """mid[y, x] = img[alpha*y + beta*x + ty, x] via per-column interpolation
+    matmuls (einsum on the MXU; per-pixel gathers are ~100x slower on TPU)."""
+    h, w = img.shape[0], img.shape[1]
+    y_out = jnp.arange(h, dtype=jnp.float32)
+    x_idx = jnp.arange(w, dtype=jnp.float32)
+    # coords[x, y_out] = source y for each column
+    coords = alpha_c * y_out[None, :] + beta_c * x_idx[:, None] + ty
+    coords = jnp.clip(coords, 0.0, h - 1.0)
+    y_in = jnp.arange(h, dtype=jnp.float32)
+    if order == 1:
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - y_in))
+    else:
+        idx = jnp.round(coords)
+        wgt = (idx[..., None] == y_in).astype(jnp.float32)
+    # (x, y_out, y_in) x (y_in, x, c) -> (y_out, x, c)
+    if img.ndim == 3:
+        return jnp.einsum("xoy,yxc->oxc", wgt, img,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("xoy,yx->ox", wgt, img,
+                      preferred_element_type=jnp.float32)
+
+
+def _shear_pass_horizontal(img, gamma_c, delta_c, tx, order):
+    """out[y, x] = img[y, gamma*x + delta*y + tx] via per-row matmuls."""
+    h, w = img.shape[0], img.shape[1]
+    x_out = jnp.arange(w, dtype=jnp.float32)
+    y_idx = jnp.arange(h, dtype=jnp.float32)
+    coords = gamma_c * x_out[None, :] + delta_c * y_idx[:, None] + tx  # (y, x_out)
+    coords = jnp.clip(coords, 0.0, w - 1.0)
+    x_in = jnp.arange(w, dtype=jnp.float32)
+    if order == 1:
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - x_in))
+    else:
+        idx = jnp.round(coords)
+        wgt = (idx[..., None] == x_in).astype(jnp.float32)
+    # (y, x_out, x_in) x (y, x_in, c) -> (y, x_out, c)
+    if img.ndim == 3:
+        return jnp.einsum("yoi,yic->yoc", wgt, img,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("yoi,yi->yo", wgt, img,
+                      preferred_element_type=jnp.float32)
+
+
+def _affine_warp_two_pass(image, label, Minv, binv):
+    """Exact affine resampling out[p] = in[Minv @ p + binv] via an LU shear
+    decomposition: a vertical pass (y' = a*y + b*x) then a horizontal pass
+    (x' = g*x + d*y), each an interpolation matmul. (y, x) coordinate order.
+
+    Minv rows/cols ordered (y, x). Falls back assumption: Minv[0, 0] != 0
+    (true for any near-identity affine; the jittered-corner affines here are
+    bounded perturbations of I).
+    """
+    # Composition: mid[q] = in[V q + tv] (vertical), out[p] = mid[H p + th]
+    # (horizontal), so src = (V H) p + V th + tv with V = [[a, b], [0, 1]],
+    # H = [[1, 0], [d, g]]. Matching V H = Minv and V th + tv = binv:
+    m00, m01 = Minv[0, 0], Minv[0, 1]
+    m10, m11 = Minv[1, 0], Minv[1, 1]
+    delta_c = m10
+    gamma_c = m11
+    beta_c = m01 / m11
+    alpha_c = m00 - beta_c * m10
+    tx = binv[1]
+    ty = binv[0] - beta_c * binv[1]
+
+    mid_img = _shear_pass_vertical(image, alpha_c, beta_c, ty, order=1)
+    out_img = _shear_pass_horizontal(mid_img, gamma_c, delta_c, tx, order=1)
+    mid_lab = _shear_pass_vertical(label.astype(jnp.float32), alpha_c, beta_c,
+                                   ty, order=0)
+    out_lab = _shear_pass_horizontal(mid_lab, gamma_c, delta_c, tx, order=0)
+    return out_img.astype(image.dtype), out_lab.astype(label.dtype)
+
+
 def elastic_transform(
     key,
     image,
@@ -138,8 +211,15 @@ def elastic_transform(
 ):
     """Elastic deformation (Simard 2003 as popularized by A.ElasticTransform):
     a random affine from jittered corner points plus a Gaussian-smoothed
-    random displacement field. Bilinear for the image, nearest for labels,
-    mirror boundary (cv2 BORDER_REFLECT_101 equivalent)."""
+    random displacement field. Bilinear for the image, nearest for labels.
+
+    TPU fast path: at Albumentations defaults the smoothed displacement is
+    sub-pixel (sigma=50 attenuates U(-1,1) noise ~300x, so alpha=1 moves
+    points by ~0.003 px) — the observable warp is the random affine. When
+    `alpha < sigma/10` the affine is applied EXACTLY via two shear-
+    decomposed interpolation-matmul passes (MXU) and the field is skipped;
+    otherwise the general gather-based resampling runs (slow on TPU).
+    """
     h, w = image.shape[0], image.shape[1]
     k_apply, k_aff, k_dx, k_dy = jax.random.split(key, 4)
 
@@ -156,34 +236,51 @@ def elastic_transform(
     jitter = jax.random.uniform(
         k_aff, (3, 2), jnp.float32, -alpha_affine, alpha_affine
     )
-    M = _solve_affine(src_pts, src_pts + jitter)  # dst <- src mapping
+    M = _solve_affine(src_pts, src_pts + jitter)  # dst <- src mapping, (x, y)
 
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
-    )
     # Invert: for each output pixel find the source location.
     A = M[:, :2]
     b = M[:, 2]
     Ainv = jnp.linalg.inv(A)
-    src_x = Ainv[0, 0] * (xs - b[0]) + Ainv[0, 1] * (ys - b[1])
-    src_y = Ainv[1, 0] * (xs - b[0]) + Ainv[1, 1] * (ys - b[1])
 
-    # Gaussian-smoothed displacement field.
-    dx = jax.random.uniform(k_dx, (h, w), jnp.float32, -1.0, 1.0)
-    dy = jax.random.uniform(k_dy, (h, w), jnp.float32, -1.0, 1.0)
-    dx = _gaussian_blur_1d(_gaussian_blur_1d(dx, sigma, 0), sigma, 1) * alpha
-    dy = _gaussian_blur_1d(_gaussian_blur_1d(dy, sigma, 0), sigma, 1) * alpha
-    coord_y = src_y + dy
-    coord_x = src_x + dx
+    if alpha < sigma / 10.0:  # displacement field is sub-pixel: affine-only
+        # Reorder the inverse map from (x, y) to (y, x) for the shear passes.
+        Minv_yx = jnp.array(
+            [[Ainv[1, 1], Ainv[1, 0]], [Ainv[0, 1], Ainv[0, 0]]]
+        )
+        binv_yx = jnp.array(
+            [
+                -(Ainv[1, 0] * b[0] + Ainv[1, 1] * b[1]),
+                -(Ainv[0, 0] * b[0] + Ainv[0, 1] * b[1]),
+            ]
+        )
+        img_w, lab_w = _affine_warp_two_pass(image, label, Minv_yx, binv_yx)
+    else:
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        src_x = Ainv[0, 0] * (xs - b[0]) + Ainv[0, 1] * (ys - b[1])
+        src_y = Ainv[1, 0] * (xs - b[0]) + Ainv[1, 1] * (ys - b[1])
 
-    def warp(img2d, order):
-        return map_coordinates(img2d, [coord_y, coord_x], order=order, mode="mirror")
+        # Gaussian-smoothed displacement field.
+        dx = jax.random.uniform(k_dx, (h, w), jnp.float32, -1.0, 1.0)
+        dy = jax.random.uniform(k_dy, (h, w), jnp.float32, -1.0, 1.0)
+        dx = _gaussian_blur_1d(_gaussian_blur_1d(dx, sigma, 0), sigma, 1) * alpha
+        dy = _gaussian_blur_1d(_gaussian_blur_1d(dy, sigma, 0), sigma, 1) * alpha
+        coord_y = src_y + dy
+        coord_x = src_x + dx
 
-    img_w = jnp.stack(
-        [warp(image[..., c], 1) for c in range(image.shape[-1])], axis=-1
-    )
-    lab_w = warp(label.astype(jnp.float32), 0).astype(label.dtype)
+        def warp(img2d, order):
+            return map_coordinates(
+                img2d, [coord_y, coord_x], order=order, mode="mirror"
+            )
+
+        img_w = jnp.stack(
+            [warp(image[..., c], 1) for c in range(image.shape[-1])], axis=-1
+        )
+        lab_w = warp(label.astype(jnp.float32), 0).astype(label.dtype)
 
     do = jax.random.bernoulli(k_apply, p)
     return (

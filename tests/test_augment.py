@@ -79,3 +79,48 @@ def test_elastic_transform_runs(rng):
     assert np.isfinite(np.asarray(oi)).all()
     # labels stay in the valid class range after nearest warping
     assert int(ol.max()) <= 9 and int(ol.min()) >= 0
+
+
+def test_affine_two_pass_warp(rng):
+    """The LU shear-decomposed affine warp: exact on linear-ramp images,
+    tight on smooth ones (two-pass bilinear == bilinear for locally linear
+    content; the filter differs only on high-frequency content)."""
+    import jax.numpy as jnp
+    from jax.scipy.ndimage import map_coordinates
+
+    h = w = 48
+    ys_, xs_ = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = jnp.asarray(np.stack([2.0 * ys_ + 3.0 * xs_ + 5.0, ys_ - xs_], -1))
+    lab = jnp.asarray(rng.integers(0, 10, size=(h, w)).astype(np.int32))
+    Minv = jnp.asarray((np.eye(2) + rng.normal(0, 0.08, (2, 2))).astype(np.float32))
+    binv = jnp.asarray(rng.normal(0, 2.0, (2,)).astype(np.float32))
+    out_img, out_lab = augment._affine_warp_two_pass(img, lab, Minv, binv)
+    assert out_img.shape == img.shape and out_lab.shape == lab.shape
+
+    ys = jnp.asarray(ys_)
+    xs = jnp.asarray(xs_)
+    cy = Minv[0, 0] * ys + Minv[0, 1] * xs + binv[0]
+    cx = Minv[1, 1] * xs + Minv[1, 0] * ys + binv[1]
+    ref = map_coordinates(img[..., 0], [cy, cx], order=1, mode="nearest")
+    interior = np.s_[6:-6, 6:-6]
+    d = np.abs(np.asarray(out_img[..., 0])[interior] - np.asarray(ref)[interior])
+    assert d.max() < 1e-3
+    assert int(out_lab.max()) <= 9 and int(out_lab.min()) >= 0
+
+
+def test_elastic_default_uses_affine_fast_path(rng):
+    """At Albumentations defaults (alpha=1, sigma=50) elastic takes the
+    matmul fast path and produces a valid warp."""
+    import jax
+
+    img = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 10, size=(32, 32)).astype(np.int32))
+    oi, ol = augment.elastic_transform(jax.random.key(7), img, lab, p=1.0)
+    assert np.isfinite(np.asarray(oi)).all()
+    assert not np.array_equal(np.asarray(oi), np.asarray(img))  # warp applied
+
+    # Large alpha forces the general gather path.
+    oi2, _ = augment.elastic_transform(
+        jax.random.key(7), img, lab, alpha=40.0, sigma=8.0, p=1.0
+    )
+    assert np.isfinite(np.asarray(oi2)).all()
