@@ -50,10 +50,16 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 class PReLU(nn.Module):
-    """PReLU with a single shared learnable slope (torch nn.PReLU default)."""
+    """PReLU with a single shared learnable slope (torch nn.PReLU default).
+
+    With `fused_instance_norm=True` the preceding InstanceNorm and this
+    activation run as one Pallas kernel (fwd + custom-VJP bwd); the param
+    tree is identical either way, so checkpoints are interchangeable.
+    """
 
     init_value: float = 0.25
     param_dtype: Any = jnp.float32
+    fused_instance_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -62,8 +68,22 @@ class PReLU(nn.Module):
             lambda key, shape, dtype: jnp.full(shape, self.init_value, dtype),
             (1,),
             self.param_dtype,
-        ).astype(x.dtype)
-        return jnp.where(x >= 0, x, alpha * x)
+        )
+        if self.fused_instance_norm:
+            from ctseg_tpu.ops.pallas.instance_norm import (
+                fused_instance_norm_prelu,
+                fusion_supported,
+            )
+
+            if fusion_supported(x.shape):
+                out = fused_instance_norm_prelu(
+                    x.astype(jnp.float32), alpha.astype(jnp.float32)
+                )
+                return out.astype(x.dtype)
+            # Infeasible tiling (large spatial x small channel count):
+            # fall back to the unfused path below.
+            x = instance_norm(x)
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 def _same_padding(kernel_size: int) -> int:
@@ -81,6 +101,7 @@ class ConvUnit(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     conv_only: bool = False
+    fused_norm_act: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -100,8 +121,13 @@ class ConvUnit(nn.Module):
             param_dtype=self.param_dtype,
         )(x)
         if not self.conv_only:
-            x = instance_norm(x)
-            x = PReLU(param_dtype=self.param_dtype)(x)
+            if self.fused_norm_act:
+                x = PReLU(
+                    param_dtype=self.param_dtype, fused_instance_norm=True
+                )(x)
+            else:
+                x = instance_norm(x)
+                x = PReLU(param_dtype=self.param_dtype)(x)
         return x
 
 
@@ -117,6 +143,7 @@ class ConvTransposeUnit(nn.Module):
     kernel_size: int = 3
     stride: int = 2
     conv_only: bool = False
+    fused_norm_act: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -138,8 +165,13 @@ class ConvTransposeUnit(nn.Module):
             param_dtype=self.param_dtype,
         )(x)
         if not self.conv_only:
-            x = instance_norm(x)
-            x = PReLU(param_dtype=self.param_dtype)(x)
+            if self.fused_norm_act:
+                x = PReLU(
+                    param_dtype=self.param_dtype, fused_instance_norm=True
+                )(x)
+            else:
+                x = instance_norm(x)
+                x = PReLU(param_dtype=self.param_dtype)(x)
         return x
 
 
@@ -157,6 +189,7 @@ class ResidualUnit(nn.Module):
     stride: int = 1
     subunits: int = 2
     last_conv_only: bool = False
+    fused_norm_act: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -190,6 +223,7 @@ class ResidualUnit(nn.Module):
                 kernel_size=self.kernel_size,
                 stride=self.stride if su == 0 else 1,
                 conv_only=self.last_conv_only and su == subunits - 1,
+                fused_norm_act=self.fused_norm_act,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"unit{su}",

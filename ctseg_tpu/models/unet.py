@@ -40,6 +40,8 @@ class UNet(nn.Module):
     up_kernel_size: int = 3
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # Run InstanceNorm+PReLU as one Pallas kernel (TPU; checkpoint-compatible).
+    fused_norm_act: bool = False
     # When True, encoder/decoder activations are exposed through flax's
     # perturb mechanism ('perturbations' collection) so GradCAM can take
     # gradients w.r.t. them (ctseg_tpu/interpret/gradcam.py). No-op for
@@ -47,7 +49,12 @@ class UNet(nn.Module):
     capture_features: bool = False
 
     def _down(self, x: jnp.ndarray, features: int, stride: int, name: str):
-        common = dict(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        common = dict(
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            fused_norm_act=self.fused_norm_act,
+            name=name,
+        )
         if self.num_res_units > 0:
             return ResidualUnit(
                 features=features,
@@ -61,7 +68,11 @@ class UNet(nn.Module):
         )(x)
 
     def _up(self, x: jnp.ndarray, features: int, stride: int, is_top: bool, name: str):
-        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        common = dict(
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            fused_norm_act=self.fused_norm_act,
+        )
         x = ConvTransposeUnit(
             features=features,
             kernel_size=self.up_kernel_size,
@@ -133,6 +144,7 @@ class SegmentationModel(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    fused_norm_act: bool = False
     capture_features: bool = False
 
     @nn.compact
@@ -155,6 +167,7 @@ class SegmentationModel(nn.Module):
             num_res_units=self.num_res_units,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            fused_norm_act=self.fused_norm_act,
             capture_features=self.capture_features,
             name="unet",
         )(x)

@@ -53,13 +53,27 @@ def _bwd_kernel(x_ref, g_ref, alpha_ref, dx_ref, dalpha_ref):
     dalpha_ref[0, 0] = jnp.sum(g * jnp.minimum(xhat, 0.0))
 
 
-def _pick_tile(c: int, hw: int, budget_bytes: int = 4 * 1024 * 1024) -> int:
-    """Largest channel tile dividing c whose (H*W*CT) block fits in budget
-    (3 live buffers in the backward pass + pipelining headroom)."""
-    for t in (128, 64, 32, 16, 8):
+def _pick_tile(c: int, hw: int, budget_bytes: int = 1024 * 1024):
+    """Channel tile satisfying BOTH the Pallas lowering rule (the last block
+    dim must be a multiple of 128 or the full channel count) and the VMEM
+    budget (~1MB per block: Mosaic double-buffers each in/out block and the
+    backward holds x, g, dx simultaneously). Returns None when infeasible —
+    callers fall back to the unfused path."""
+    if hw * c * 4 <= budget_bytes:
+        return c
+    for t in (512, 384, 256, 128):
         if c % t == 0 and hw * t * 4 <= budget_bytes:
             return t
-    return min(c, 8) if c % 8 == 0 else c
+    return None
+
+
+def fusion_supported(shape) -> bool:
+    """Whether the fused kernel can run for (N, *spatial, C) inputs."""
+    import numpy as np
+
+    c = shape[-1]
+    hw = int(np.prod(shape[1:-1]))
+    return _pick_tile(c, hw) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
