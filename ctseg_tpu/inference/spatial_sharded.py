@@ -98,7 +98,6 @@ def sliding_window_inference_spatial(
     importance = gaussian_importance(patch_size)
 
     axis_sharding = NamedSharding(mesh, P(axis))
-    replicated = NamedSharding(mesh, P())
 
     def shard_body(vol_local):
         # vol_local: (local_d, *rest, C)

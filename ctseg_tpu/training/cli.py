@@ -104,6 +104,16 @@ def _config_from_args(args, mixup: bool) -> TrainConfig:
     )
 
 
+def _fit_batch(requested: int, n_items: int, mesh) -> int:
+    """Largest usable batch: <= dataset size and divisible by the mesh size."""
+    b = min(requested, n_items)
+    if mesh is not None:
+        m = mesh.size
+        assert n_items >= m, "dataset smaller than the device mesh"
+        b = max((b // m) * m, m)
+    return b
+
+
 def run_2d(args, mixup: bool) -> None:
     config = _config_from_args(args, mixup=mixup)
     data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
@@ -126,11 +136,15 @@ def run_2d(args, mixup: bool) -> None:
         experiment_name=args.experiment_name,
         config=config.as_dict(),
     )
-    train_pipe = DevicePipeline2D(train, min(config.batch_size, len(train)))
+    train_pipe = DevicePipeline2D(
+        train, _fit_batch(config.batch_size, len(train), mesh)
+    )
     val_pipe = (
         None
         if args.use_full_data
-        else DevicePipeline2D(valid, min(config.batch_size, len(valid)))
+        else DevicePipeline2D(
+            valid, _fit_batch(config.batch_size, len(valid), mesh)
+        )
     )
     callbacks = []
     if args.checkpoint_dir:
@@ -167,7 +181,7 @@ def run_2d(args, mixup: bool) -> None:
         out = Path(DEFAULT_DATA_STORAGE) / name
         trainer.save(out, state)
         test = PackedDataset2D.load(data_dir / "test_packed.npz")
-        test_bs = min(config.batch_size, len(test))
+        test_bs = _fit_batch(config.batch_size, len(test), mesh)
         metrics = trainer.eval_epoch(
             state.params, DevicePipeline2D(test, test_bs), "test", logger
         )
