@@ -261,22 +261,30 @@ class Trainer:
 
         # Dice logging (reference logs it every step, epoch-averaged,
         # base_trainer.py:120-136). exclude_missing zeroes the logits of
-        # structures missing from each sample before argmax.
-        pred_logits = logits
-        if self.config.exclude_missing:
+        # structures missing from each sample before argmax (a reference
+        # quirk preserved: raw logits are multiplied, so negative logits
+        # become 0 rather than -inf).
+        def masked_preds(ind):
+            if not self.config.exclude_missing:
+                return squash_predictions(logits)
             spatial_ones = (1,) * (logits.ndim - 2)
-            ind = indicators.reshape(indicators.shape[0], *spatial_ones, -1)
-            pred_logits = jnp.concatenate(
-                [logits[..., :1], logits[..., 1:] * ind], axis=-1
+            ind = ind.reshape(ind.shape[0], *spatial_ones, -1)
+            return squash_predictions(
+                jnp.concatenate([logits[..., :1], logits[..., 1:] * ind], axis=-1)
             )
-        preds = squash_predictions(pred_logits)
+
         if self.config.mixup:
-            mean_a, per_class_a = self.dice(preds, labels)
-            mean_b, per_class_b = self.dice(preds, labels_for_dice)
+            # Each target set is scored with its own indicator
+            # (reference mixup_trainer.py:94-128).
+            mean_a, per_class_a = self.dice(masked_preds(indicators), labels)
+            indicators_b = jnp.take(indicators, index, axis=0)
+            mean_b, per_class_b = self.dice(
+                masked_preds(indicators_b), labels_for_dice
+            )
             dice_mean = mixup_tensors(mean_a, mean_b, lam)
             dice_per_class = mixup_tensors(per_class_a, per_class_b, lam)
         else:
-            dice_mean, dice_per_class = self.dice(preds, labels)
+            dice_mean, dice_per_class = self.dice(masked_preds(indicators), labels)
 
         metrics = {f"loss/{k}": v for k, v in values.items()}
         metrics["loss/total"] = total
