@@ -23,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-5
 
@@ -50,7 +51,12 @@ def _bwd_kernel(x_ref, g_ref, alpha_ref, dx_ref, dalpha_ref):
     ghx_mean = jnp.mean(gh * xhat, axis=(0, 1), keepdims=True)
     dx_ref[:] = inv * (gh - gh_mean - xhat * ghx_mean)
     # Per-(sample, channel-tile) partial of dalpha; summed by the caller.
-    dalpha_ref[0, 0] = jnp.sum(g * jnp.minimum(xhat, 0.0))
+    # The (N, C/CT) output keeps a constant index map (tiny full-array
+    # block resident across the sequential grid) and each step writes its
+    # own element — per-step (1, 1) blocks violate Mosaic tiling rules.
+    dalpha_ref[pl.program_id(0), pl.program_id(1)] = jnp.sum(
+        g * jnp.minimum(xhat, 0.0)
+    )
 
 
 def _pick_tile(c: int, hw: int, budget_bytes: int = 1024 * 1024):
@@ -136,7 +142,9 @@ def _bwd_rule(interpret, res, g):
         ],
         out_specs=[
             pl.BlockSpec((None, h, w, ct), lambda i, j: (i, 0, 0, j)),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j)),
+            pl.BlockSpec(
+                (n, c // ct), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, h, w, c), x4.dtype),
