@@ -54,7 +54,9 @@ def make_patient(
         mask = (
             ((zz - cz) / rz) ** 2 + ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
         ) <= 1.0
-        img[mask] = img[mask] + 40.0 + 22.0 * i  # class-specific density
+        # class-specific density, kept inside the soft-tissue window
+        # (hi = 195 HU) so no class saturates into indistinguishability
+        img[mask] = img[mask] + 35.0 + 13.0 * i
         # NRRD files store (H, W, D) like the real dataset.
         nrrd_io.write(
             directory / "structures" / f"{structure}.nrrd",
