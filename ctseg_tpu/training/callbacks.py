@@ -63,6 +63,16 @@ class ExamplesLoggingCallback:
             )
             name = self.dataset.names[idx]
             np.save(out / f"{name}.npy", panel)
+            try:  # reference parity: push overlays to an active W&B run
+                import wandb
+
+                if wandb.run is not None:
+                    wandb.log(
+                        {f"examples/{name}": wandb.Image(panel)},
+                        step=int(state.step),
+                    )
+            except ImportError:
+                pass
             try:
                 import matplotlib
 
