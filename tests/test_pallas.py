@@ -52,3 +52,21 @@ def test_fused_instance_norm_prelu_3d(rng):
     out = fused_instance_norm_prelu(x, alpha, True)
     ref = reference_instance_norm_prelu(x, alpha)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3_in_prelu_fused(rng):
+    from ctseg_tpu.ops.pallas.conv_fused import (
+        conv3x3_in_prelu,
+        fusion_supported,
+        reference_conv3x3_in_prelu,
+    )
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, size=(3, 3, 32, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, size=(32,)).astype(np.float32))
+    alpha = jnp.asarray([0.25], jnp.float32)
+    out = conv3x3_in_prelu(x, w, b, alpha, interpret=True)
+    ref = reference_conv3x3_in_prelu(x, w, b, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    assert fusion_supported((2, 16, 16, 1024), 1024)
+    assert not fusion_supported((2, 256, 256, 64), 64)
