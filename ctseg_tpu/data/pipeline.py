@@ -15,13 +15,37 @@ import jax.numpy as jnp
 from ctseg_tpu.data.datasets import PackedDataset2D
 
 
+def padded_permutation(
+    size: int, batch_size: int, key: Optional[jax.Array] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Index permutation padded up to a whole number of batches.
+
+    Returns (perm, row_valid, num_batches): `perm` has
+    `num_batches * batch_size` entries covering every index in [0, size)
+    exactly once, padded with index 0; `row_valid[i]` is False for the
+    padded tail. Fixed batch shapes keep jit happy while every sample is
+    still evaluated exactly once (the reference's DataLoaders never drop
+    samples, capstone/data/data_module.py:46-71).
+    """
+    num_batches = -(-size // batch_size)
+    perm = (
+        jax.random.permutation(key, size) if key is not None else jnp.arange(size)
+    )
+    pad = num_batches * batch_size - size
+    if pad:
+        perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+    row_valid = jnp.arange(num_batches * batch_size) < size
+    return perm, row_valid, num_batches
+
+
 class DevicePipeline2D:
     """HBM-resident 2D slice pipeline yielding raw-HU batches.
 
     Windowing/augmentation happen later inside the jitted step; this only
-    gathers (image, label, indicator) batches. Incomplete trailing batches
-    are dropped for shape stability under jit (the reference's DataLoader
-    keeps them; with shuffling this does not bias training).
+    gathers (image, label, indicator) batches. `epoch` drops incomplete
+    trailing batches for shape stability under jit (with shuffling this does
+    not bias training); evaluation must use `padded_epoch`, which covers
+    every sample exactly once via a padded-and-masked final batch.
     """
 
     def __init__(
@@ -59,4 +83,23 @@ class DevicePipeline2D:
                 jnp.take(self.images, idx, axis=0),
                 jnp.take(self.labels, idx, axis=0),
                 jnp.take(self.indicators, idx, axis=0),
+            )
+
+    def padded_epoch(
+        self, key: Optional[jax.Array] = None
+    ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+        """Yield (image, label, indicator, row_valid) batches covering EVERY
+        sample exactly once; the trailing batch is padded (row_valid=False
+        rows) instead of dropped. For evaluation — never biases the split."""
+        perm, row_valid, num_batches = padded_permutation(
+            self.size, self.batch_size, key
+        )
+        for b in range(num_batches):
+            lo = b * self.batch_size
+            idx = jax.lax.dynamic_slice_in_dim(perm, lo, self.batch_size)
+            yield (
+                jnp.take(self.images, idx, axis=0),
+                jnp.take(self.labels, idx, axis=0),
+                jnp.take(self.indicators, idx, axis=0),
+                jax.lax.dynamic_slice_in_dim(row_valid, lo, self.batch_size),
             )

@@ -43,13 +43,17 @@ def evaluate_2d(
     Unlike the training-loop logging (which mirrors the reference's
     step-averaged Lightning semantics), this accumulates per-(sample, class)
     Dice over the WHOLE split before the masked reduction — the statistically
-    correct aggregate for final reporting.
+    correct aggregate for final reporting. Every slice of the split is
+    evaluated exactly once: the trailing partial batch is padded and its
+    padded rows masked out of the Dice `valid` channel (the reference's
+    DataLoaders never drop samples, capstone/data/data_module.py:46-71).
     """
     batch_size = batch_size or min(64, len(dataset))
+    batch_size = min(batch_size, len(dataset))
     pipe = DevicePipeline2D(dataset, batch_size)
 
     @jax.jit
-    def step(params, images_raw, labels_raw):
+    def step(params, images_raw, labels_raw, row_valid):
         key = jax.random.key(0)
         images, labels = batched_transform(
             trainer.test_transform, key, images_raw, labels_raw
@@ -57,24 +61,27 @@ def evaluate_2d(
         logits = trainer.model.apply(params, images)
         preds = squash_predictions(logits)
         dice, valid = dice_per_sample_class(preds, labels)
+        valid = jnp.logical_and(valid, row_valid[:, None])
         return dice, valid, preds, labels
 
     all_dice, all_valid = [], []
     hd_rows = []
     t0 = time.time()
     n_slices = 0
-    for images_raw, labels_raw, _ in pipe.epoch(None):
-        dice, valid, preds, labels = step(params, images_raw, labels_raw)
+    for images_raw, labels_raw, _, row_valid in pipe.padded_epoch(None):
+        dice, valid, preds, labels = step(params, images_raw, labels_raw, row_valid)
         all_dice.append(np.asarray(dice))
         all_valid.append(np.asarray(valid))
-        n_slices += images_raw.shape[0]
+        row_valid_h = np.asarray(row_valid)
+        n_slices += int(row_valid_h.sum())
         if with_hd95:
             preds_h = np.asarray(preds)
             labels_h = np.asarray(labels)
             for i in range(preds_h.shape[0]):
-                hd_rows.append(
-                    hd95_per_structure(preds_h[i], labels_h[i], NUM_CLASSES)
-                )
+                if row_valid_h[i]:
+                    hd_rows.append(
+                        hd95_per_structure(preds_h[i], labels_h[i], NUM_CLASSES)
+                    )
     elapsed = time.time() - t0
 
     dice = jnp.asarray(np.concatenate(all_dice))

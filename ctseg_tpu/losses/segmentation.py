@@ -41,22 +41,45 @@ def _spatial_axes(x: jnp.ndarray):
     return tuple(range(1, x.ndim - 1))
 
 
+def _masked_matrix_mean(f: jnp.ndarray, sample_mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of a per-(sample, class) matrix over valid rows only.
+
+    Exactly `f[sample_mask].mean()` but with static shapes: the padded rows
+    an evaluation batch carries (data/pipeline.py padded_epoch) contribute
+    nothing. Differential-tested against slicing in tests/test_losses.py.
+    """
+    m = sample_mask.astype(f.dtype)[:, None]
+    return jnp.sum(f * m) / jnp.maximum(jnp.sum(m) * f.shape[-1], 1.0)
+
+
 def cross_entropy_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     weight: Optional[jnp.ndarray] = None,
     reduction: str = "mean",
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Softmax cross entropy over the trailing class axis.
 
     logits: (N, *spatial, C); labels: (N, *spatial) int.
     With `weight` (C,), matches torch's weighted mean: sum(w_y * ce) / sum(w_y).
+    `sample_mask` (N,) restricts the mean to valid rows (padded eval batches).
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     picked = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
     ce = -picked[..., 0]  # (N, *spatial)
+    w = None
     if weight is not None:
         w = jnp.asarray(weight, dtype=ce.dtype)[labels]
+    if sample_mask is not None and reduction == "mean":
+        m = jnp.broadcast_to(
+            sample_mask.astype(ce.dtype).reshape((-1,) + (1,) * (ce.ndim - 1)),
+            ce.shape,
+        )
+        denom = jnp.sum(w * m) if w is not None else jnp.sum(m)
+        num = jnp.sum(ce * (w * m if w is not None else m))
+        return num / jnp.maximum(denom, 1e-30)
+    if w is not None:
         if reduction == "mean":
             return jnp.sum(ce * w) / jnp.sum(w)
         ce = ce * w
@@ -68,11 +91,16 @@ def cross_entropy_loss(
 
 
 def weighted_cross_entropy_loss(
-    logits: jnp.ndarray, labels: jnp.ndarray, reduction: str = "mean"
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    reduction: str = "mean",
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Cross entropy with the reference's inverse-pixel-frequency weights."""
     weight = jnp.asarray(list(CLASS_WEIGHT.values()))
-    return cross_entropy_loss(logits, labels, weight=weight, reduction=reduction)
+    return cross_entropy_loss(
+        logits, labels, weight=weight, reduction=reduction, sample_mask=sample_mask
+    )
 
 
 def dice_loss(
@@ -81,6 +109,7 @@ def dice_loss(
     include_background: bool = False,
     smooth: float = 1e-5,
     reduction: str = "mean",
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Soft Dice loss on softmax probabilities vs one-hot targets.
 
@@ -100,6 +129,8 @@ def dice_loss(
     f = 1.0 - (2.0 * intersection + smooth) / (denominator + smooth)
 
     if reduction == "mean":
+        if sample_mask is not None:
+            return _masked_matrix_mean(f, sample_mask)
         return jnp.mean(f)
     if reduction == "sum":
         return jnp.sum(f)
@@ -113,6 +144,7 @@ def generalized_dice_loss(
     smooth_nr: float = 1e-5,
     smooth_dr: float = 1e-5,
     reduction: str = "mean",
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Generalized Dice (Sudre 2017) with square class weighting.
 
@@ -141,6 +173,8 @@ def generalized_dice_loss(
     f = 1.0 - (2.0 * (intersection * w) + smooth_nr) / ((denominator * w) + smooth_dr)
 
     if reduction == "mean":
+        if sample_mask is not None:
+            return _masked_matrix_mean(f, sample_mask)
         return jnp.mean(f)
     if reduction == "sum":
         return jnp.sum(f)
@@ -152,6 +186,7 @@ def focal_loss(
     labels: jnp.ndarray,
     gamma: float = 2.0,
     reduction: str = "mean",
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Focal loss against a one-hot target (background included).
 
@@ -167,6 +202,8 @@ def focal_loss(
     f = jnp.mean(per_voxel, axis=_spatial_axes(per_voxel))  # (N, C)
 
     if reduction == "mean":
+        if sample_mask is not None:
+            return _masked_matrix_mean(f, sample_mask)
         return jnp.mean(f)
     if reduction == "sum":
         return jnp.sum(f)
@@ -177,6 +214,7 @@ def boundary_loss(
     logits: jnp.ndarray,
     dist_maps: jnp.ndarray,
     reduction: str = "mean",
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Boundary loss: softmax probs (background dropped) x distance maps.
 
@@ -187,11 +225,17 @@ def boundary_loss(
     prod = probs * dist_maps.astype(probs.dtype)
     if reduction == "none":
         return jnp.mean(prod, axis=_spatial_axes(prod))
+    if sample_mask is not None:
+        per_sample = jnp.mean(prod, axis=_spatial_axes(prod))  # (N, C-1)
+        return _masked_matrix_mean(per_sample, sample_mask)
     return jnp.mean(prod)
 
 
 def apply_missing_mask(
-    name: str, loss: jnp.ndarray, mask_indicator: jnp.ndarray
+    name: str,
+    loss: jnp.ndarray,
+    mask_indicator: jnp.ndarray,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """AnatomyNet-style missing-annotation masking of a (N, C) loss matrix.
 
@@ -203,6 +247,10 @@ def apply_missing_mask(
     (reference capstone/models/losses.py:206-221)
     """
     mask_indicator = mask_indicator.astype(loss.dtype)
+    if sample_mask is not None:
+        # Padded eval rows: drop them from the annotation counts and the
+        # batch mean. Equivalent to slicing the valid rows first.
+        mask_indicator = mask_indicator * sample_mask.astype(loss.dtype)[:, None]
     if name == "Focal":
         background = (
             jnp.sum(mask_indicator, axis=1, keepdims=True) == (NUM_CLASSES - 1)
@@ -216,6 +264,9 @@ def apply_missing_mask(
     weights = weights / jnp.sum(weights)
 
     masked = loss * weights[None, :] * mask_indicator
+    if sample_mask is not None:
+        n_valid = jnp.maximum(jnp.sum(sample_mask.astype(loss.dtype)), 1.0)
+        return jnp.sum(masked) / n_valid
     return jnp.mean(jnp.sum(masked, axis=1))
 
 
@@ -256,7 +307,11 @@ class MultiLoss:
         labels: jnp.ndarray,
         mask_indicator: Optional[jnp.ndarray] = None,
         dist_maps: Optional[jnp.ndarray] = None,
+        sample_mask: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
+        """`sample_mask` (N,) bool excludes padded evaluation rows from every
+        reduction — exactly equivalent to slicing the valid rows out first
+        (differential-tested), but with jit-stable shapes."""
         values: Dict[str, jnp.ndarray] = {}
         for name in self.names:
             fx = LOSSES[name]
@@ -264,17 +319,20 @@ class MultiLoss:
             # exclude_missing (reference capstone/models/losses.py:196-199).
             masked = self.exclude_missing and name not in _CE_LOSSES
             reduction = "none" if masked else "mean"
+            kw = {} if masked else {"sample_mask": sample_mask}
             if name == "Boundary":
                 assert dist_maps is not None, (
                     "Distance maps are required for using boundary loss"
                 )
-                loss = fx(logits, dist_maps, reduction=reduction)
+                loss = fx(logits, dist_maps, reduction=reduction, **kw)
             else:
-                loss = fx(logits, labels, reduction=reduction)
+                loss = fx(logits, labels, reduction=reduction, **kw)
 
             if masked:
                 assert mask_indicator is not None
-                loss = apply_missing_mask(name, loss, mask_indicator)
+                loss = apply_missing_mask(
+                    name, loss, mask_indicator, sample_mask=sample_mask
+                )
             values[name] = loss
         return values
 

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctseg_tpu.constants import EXPERIMENT_SEED, NUM_CLASSES, STRUCTURES
 from ctseg_tpu.losses import MultiLoss
-from ctseg_tpu.metrics import DiceMetric
+from ctseg_tpu.metrics import DiceMetric, dice_per_sample_class, masked_mean_batch
 from ctseg_tpu.models import SegmentationModel
 from ctseg_tpu.ops import squash_predictions
 from ctseg_tpu.ops.edt import signed_distance_maps_from_labels
@@ -193,12 +193,12 @@ class Trainer:
     def _forward(self, params, images):
         return self.model.apply(params, images)
 
-    def _losses_and_logits(self, params, images, labels, indicators):
+    def _losses_and_logits(self, params, images, labels, indicators, sample_mask=None):
         logits = self._forward(params, images).astype(jnp.float32)
         dist_maps = (
             signed_distance_maps_from_labels(labels) if self.needs_dist_maps else None
         )
-        values = self.loss(logits, labels, indicators, dist_maps)
+        values = self.loss(logits, labels, indicators, dist_maps, sample_mask)
         return values, logits, dist_maps
 
     def _train_step_impl(self, state: TrainState, batch, key):
@@ -303,13 +303,19 @@ class Trainer:
 
     # -------------------------------------------------------------- eval step
     def _eval_step_impl(self, params, batch):
-        images_raw, labels_raw, indicators = batch
+        """One evaluation step over a possibly-padded batch.
+
+        `row_valid` marks real rows (padded_epoch); losses and Dice exclude
+        padded rows exactly, so no sample of the split is ever dropped or
+        double-counted (the reference evaluates every sample,
+        capstone/data/data_module.py:46-71). Returns (metrics, n_valid)."""
+        images_raw, labels_raw, indicators, row_valid = batch
         key = jax.random.key(0)  # test transform is deterministic
         images, labels = batched_transform(
             self.test_transform, key, images_raw, labels_raw
         )
         values, logits, _ = self._losses_and_logits(
-            params, images, labels, indicators
+            params, images, labels, indicators, sample_mask=row_valid
         )
         pred_logits = logits
         if self.config.exclude_missing:
@@ -319,12 +325,15 @@ class Trainer:
                 [logits[..., :1], logits[..., 1:] * ind], axis=-1
             )
         preds = squash_predictions(pred_logits)
-        dice_mean, dice_per_class = self.dice(preds, labels)
+        dice, valid = dice_per_sample_class(preds, labels)
+        valid = jnp.logical_and(valid, row_valid[:, None])
+        dice_per_class, _ = masked_mean_batch(dice, valid)
+        dice_mean = jnp.mean(dice_per_class)
         metrics = {f"loss/{k}": v for k, v in values.items()}
         metrics["dice/mean"] = dice_mean
         for s, v in zip(STRUCTURES, dice_per_class):
             metrics[f"dice/{s}"] = v
-        return metrics
+        return metrics, jnp.sum(row_valid.astype(jnp.float32))
 
     # ------------------------------------------------------------------ loops
     def shard_batch(self, batch):
@@ -351,16 +360,22 @@ class Trainer:
         return state, means
 
     def eval_epoch(self, params, pipeline, prefix="val", logger=None, step=0):
+        """Full-split evaluation: padded batches, sample-weighted averages.
+
+        Batch means are weighted by the number of REAL rows in each batch, so
+        the padded tail contributes in proportion to its valid samples (and
+        identically to plain step-averaging when the batch size divides the
+        split)."""
         sums: Dict[str, jnp.ndarray] = {}
-        count = 0
-        for batch in pipeline.epoch(None):
-            metrics = self._eval_step(params, self.shard_batch(batch))
-            count += 1
+        total = jnp.zeros((), jnp.float32)
+        for batch in pipeline.padded_epoch(None):
+            metrics, n_valid = self._eval_step(params, self.shard_batch(batch))
+            total = total + n_valid
             for k, v in metrics.items():
-                sums[k] = v if k not in sums else sums[k] + v
-        means = {
-            f"{prefix}/{k}": float(v) / max(count, 1) for k, v in sums.items()
-        }
+                w = v * n_valid
+                sums[k] = w if k not in sums else sums[k] + w
+        denom = max(float(total), 1.0)
+        means = {f"{prefix}/{k}": float(v) / denom for k, v in sums.items()}
         if logger is not None:
             logger.log(means, step=step)
         return means

@@ -81,6 +81,24 @@ class DevicePipeline3D:
                 jnp.take(self.indicators, idx, axis=0),
             )
 
+    def padded_epoch(self, key: Optional[jax.Array] = None) -> Iterator:
+        """Full-coverage evaluation epoch: the trailing partial batch is
+        padded with masked rows instead of dropped (see DevicePipeline2D)."""
+        from ctseg_tpu.data.pipeline import padded_permutation
+
+        perm, row_valid, num_batches = padded_permutation(
+            self.size, self.batch_size, key
+        )
+        for b in range(num_batches):
+            lo = b * self.batch_size
+            idx = jax.lax.dynamic_slice_in_dim(perm, lo, self.batch_size)
+            yield (
+                jnp.take(self.images, idx, axis=0),
+                jnp.take(self.labels, idx, axis=0),
+                jnp.take(self.indicators, idx, axis=0),
+                jax.lax.dynamic_slice_in_dim(row_valid, lo, self.batch_size),
+            )
+
 
 class PatchPipeline3D:
     """Random-patch pipeline (north star): native-resolution patches.
@@ -169,3 +187,10 @@ class PatchPipeline3D:
         key = key if key is not None else jax.random.key(0)
         for s in range(steps):
             yield self._sample(jax.random.fold_in(key, s))
+
+    def padded_epoch(self, key: Optional[jax.Array] = None, steps: int = 100) -> Iterator:
+        """Patch sampling has no notion of 'coverage'; every random patch is
+        a real sample, so row_valid is all-ones (eval_epoch compatibility)."""
+        valid = jnp.ones((self.batch_size,), bool)
+        for batch in self.epoch(key, steps):
+            yield (*batch, valid)

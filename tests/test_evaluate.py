@@ -1,6 +1,7 @@
 """Evaluation module: dataset-level Dice aggregation + 3D sliding-window."""
 
 import numpy as np
+import pytest
 
 from ctseg_tpu.data.datasets import PackedDataset2D, PackedDataset3D
 from ctseg_tpu.inference.evaluate import (
@@ -87,3 +88,65 @@ def test_examples_callback(tmp_path, rng):
     out = tmp_path / "epoch_0002"
     assert out.is_dir()
     assert len(list(out.glob("*.npy"))) == 3
+
+
+def test_padded_epoch_covers_every_sample(rng):
+    """padded_epoch yields every index exactly once + a correct valid mask."""
+    from ctseg_tpu.data.pipeline import DevicePipeline2D
+
+    ds = _packed2d(rng, n=13, hw=16)
+    pipe = DevicePipeline2D(ds, batch_size=5)
+    seen = []
+    n_batches = 0
+    for imgs, labs, inds, valid in pipe.padded_epoch(None):
+        assert imgs.shape[0] == 5 and valid.shape == (5,)
+        seen.append(np.asarray(valid))
+        n_batches += 1
+    assert n_batches == 3  # ceil(13 / 5)
+    assert int(np.concatenate(seen).sum()) == 13
+
+
+def test_evaluate_2d_full_coverage(rng):
+    """Regression for the round-1 bug: 17% of the test split was dropped when
+    the batch size did not divide it. num_slices must equal len(dataset) and
+    the Dice table must be identical to a single full-split batch."""
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=8, transform_degree=1,
+        input_size=32,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ds = _packed2d(rng, n=13, hw=16)
+
+    res_padded = evaluate_2d(tr, state.params, ds, batch_size=8)
+    assert res_padded["num_slices"] == 13
+
+    res_full = evaluate_2d(tr, state.params, ds, batch_size=13)
+    assert res_full["num_slices"] == 13
+    np.testing.assert_allclose(
+        [res_padded["per_structure_dice"][s] for s in res_padded["per_structure_dice"]],
+        [res_full["per_structure_dice"][s] for s in res_full["per_structure_dice"]],
+        rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_eval_epoch_full_coverage(rng):
+    """trainer.eval_epoch (the CLI test path) also evaluates every sample:
+    sample-mean losses are identical whatever the batch size."""
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=8, transform_degree=1,
+        input_size=32,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ds = _packed2d(rng, n=13, hw=16)
+
+    from ctseg_tpu.data.pipeline import DevicePipeline2D
+
+    m_padded = tr.eval_epoch(state.params, DevicePipeline2D(ds, 5), "t")
+    m_full = tr.eval_epoch(state.params, DevicePipeline2D(ds, 13), "t")
+    # Focal and Dice are per-sample means, so the sample-weighted batch
+    # aggregation must reproduce the single-batch value exactly.
+    for k in ("t/loss/Focal", "t/loss/Dice"):
+        assert m_padded[k] == pytest.approx(m_full[k], rel=1e-5)

@@ -243,3 +243,58 @@ def test_losses_work_in_3d(rng):
     for fx in (dice_loss, generalized_dice_loss, focal_loss, cross_entropy_loss):
         val = float(fx(jnp.asarray(logits), jnp.asarray(labels)))
         assert np.isfinite(val)
+
+
+# ------------------------------------------------------- sample_mask (padding)
+def test_sample_mask_equals_slicing(rng):
+    """Masked full-batch reductions == unmasked reductions on the valid rows.
+
+    This is the contract the padded evaluation batches rely on
+    (data/pipeline.py padded_epoch -> trainer eval step)."""
+    n, n_valid = 6, 4
+    logits = rng.normal(size=(n, 16, 16, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(n, 16, 16))
+    dist = rng.normal(size=(n, 16, 16, C - 1)).astype(np.float32)
+    mask = np.zeros(n, bool)
+    mask[:n_valid] = True
+
+    jl, jt, jm = jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask)
+    cases = [
+        (cross_entropy_loss, (jl, jt)),
+        (weighted_cross_entropy_loss, (jl, jt)),
+        (dice_loss, (jl, jt)),
+        (generalized_dice_loss, (jl, jt)),
+        (focal_loss, (jl, jt)),
+        (boundary_loss, (jl, jnp.asarray(dist))),
+    ]
+    for fx, args in cases:
+        masked = float(fx(*args, sample_mask=jm))
+        sliced = float(fx(*(a[:n_valid] for a in args)))
+        assert masked == pytest.approx(sliced, rel=1e-5), fx.__name__
+
+
+def test_multi_loss_sample_mask_exclude_missing(rng):
+    """Masked MultiLoss (incl. AnatomyNet masking) == slicing the valid rows."""
+    n, n_valid = 6, 4
+    logits = rng.normal(size=(n, 16, 16, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(n, 16, 16))
+    indicator = rng.integers(0, 2, size=(n, C - 1)).astype(np.float32)
+    mask = np.zeros(n, bool)
+    mask[:n_valid] = True
+
+    ml = MultiLoss(["Focal", "Dice", "CrossEntropy"], exclude_missing=True)
+    masked = ml(
+        jnp.asarray(logits),
+        jnp.asarray(labels),
+        jnp.asarray(indicator),
+        sample_mask=jnp.asarray(mask),
+    )
+    sliced = ml(
+        jnp.asarray(logits[:n_valid]),
+        jnp.asarray(labels[:n_valid]),
+        jnp.asarray(indicator[:n_valid]),
+    )
+    for name in masked:
+        assert float(masked[name]) == pytest.approx(
+            float(sliced[name]), rel=1e-5
+        ), name
