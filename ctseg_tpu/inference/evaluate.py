@@ -37,6 +37,7 @@ def evaluate_2d(
     dataset: PackedDataset2D,
     batch_size: Optional[int] = None,
     with_hd95: bool = False,
+    mesh=None,
 ) -> Dict:
     """Slice-wise evaluation with dataset-level (not step-averaged) Dice.
 
@@ -50,6 +51,15 @@ def evaluate_2d(
     """
     batch_size = batch_size or min(64, len(dataset))
     batch_size = min(batch_size, len(dataset))
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Data-parallel evaluation: batches sharded over the mesh's data
+        # axis, params replicated; XLA inserts the collectives.
+        batch_size = max((batch_size // mesh.size) * mesh.size, mesh.size)
+        batch_sharding = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
     pipe = DevicePipeline2D(dataset, batch_size)
 
     @jax.jit
@@ -69,6 +79,10 @@ def evaluate_2d(
     t0 = time.time()
     n_slices = 0
     for images_raw, labels_raw, _, row_valid in pipe.padded_epoch(None):
+        if batch_sharding is not None:
+            images_raw, labels_raw, row_valid = jax.device_put(
+                (images_raw, labels_raw, row_valid), batch_sharding
+            )
         dice, valid, preds, labels = step(params, images_raw, labels_raw, row_valid)
         all_dice.append(np.asarray(dice))
         all_valid.append(np.asarray(valid))
@@ -218,15 +232,29 @@ def main():
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--hd95", action="store_true", default=False)
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument(
+        "--n_devices",
+        type=int,
+        default=None,
+        help="Evaluate data-parallel over an n-device mesh (defaults to all "
+        "devices when >1 are visible; 1 disables the mesh).",
+    )
     args = parser.parse_args()
 
-    trainer, state = Trainer.restore(args.checkpoint)
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from ctseg_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_dev)
+
+    trainer, state = Trainer.restore(args.checkpoint, mesh=mesh)
     data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
     dataset = PackedDataset2D.load(data_dir / f"{args.split}_packed.npz")
 
     result = evaluate_2d(
         trainer, state.params, dataset,
-        batch_size=args.batch_size, with_hd95=args.hd95,
+        batch_size=args.batch_size, with_hd95=args.hd95, mesh=mesh,
     )
     print(format_table(result))
     if args.out:

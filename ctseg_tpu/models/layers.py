@@ -90,11 +90,55 @@ def _same_padding(kernel_size: int) -> int:
     return (kernel_size - 1) // 2
 
 
+class _ConvParams(nn.Module):
+    """Declares exactly nn.Conv's parameter tree (kernel, bias) without
+    running the convolution — used by the fused conv+IN+PReLU path so fused
+    and unfused checkpoints are interchangeable."""
+
+    kernel_shape: Any
+    fan_in: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_kernel_init, tuple(self.kernel_shape), self.param_dtype
+        )
+        bias = self.param(
+            "bias",
+            _torch_bias_init(self.fan_in),
+            (self.kernel_shape[-1],),
+            self.param_dtype,
+        )
+        return kernel, bias
+
+
+class _PReLUParam(nn.Module):
+    """Declares exactly PReLU's parameter ("alpha", init 0.25)."""
+
+    init_value: float = 0.25
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "alpha",
+            lambda key, shape, dtype: jnp.full(shape, self.init_value, dtype),
+            (1,),
+            self.param_dtype,
+        )
+
+
 class ConvUnit(nn.Module):
     """Conv -> InstanceNorm -> PReLU (or conv only).
 
     Strided convs use torch-style symmetric padding (k-1)//2 so downsampling
     tap alignment matches the reference exactly.
+
+    `fused_conv_block`: stride-1 3x3 2D units run conv+IN+PReLU as a single
+    Pallas kernel (ops/pallas/conv_block.py) when the shape fits VMEM; the
+    parameter tree is identical either way, so checkpoints are
+    interchangeable and infeasible shapes silently use the XLA chain.
     """
 
     features: int
@@ -102,6 +146,7 @@ class ConvUnit(nn.Module):
     stride: int = 1
     conv_only: bool = False
     fused_norm_act: bool = False
+    fused_conv_block: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -110,6 +155,32 @@ class ConvUnit(nn.Module):
         ndim = x.ndim - 2  # spatial rank
         pad = _same_padding(self.kernel_size)
         fan_in = x.shape[-1] * self.kernel_size ** ndim
+
+        if self.fused_conv_block and not self.conv_only:
+            from ctseg_tpu.ops.pallas.conv_block import (
+                conv_fusion_supported,
+                default_interpret,
+                fused_conv3x3_in_prelu,
+            )
+
+            if conv_fusion_supported(
+                x.shape, self.features, x.dtype,
+                stride=self.stride, kernel_size=self.kernel_size,
+            ):
+                kernel, bias = _ConvParams(
+                    kernel_shape=(self.kernel_size,) * ndim
+                    + (x.shape[-1], self.features),
+                    fan_in=fan_in,
+                    param_dtype=self.param_dtype,
+                    name="Conv_0",
+                )()
+                alpha = _PReLUParam(
+                    param_dtype=self.param_dtype, name="PReLU_0"
+                )()
+                return fused_conv3x3_in_prelu(
+                    x, kernel, bias, alpha, default_interpret()
+                )
+
         x = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,) * ndim,
@@ -190,6 +261,7 @@ class ResidualUnit(nn.Module):
     subunits: int = 2
     last_conv_only: bool = False
     fused_norm_act: bool = False
+    fused_conv_block: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -224,6 +296,7 @@ class ResidualUnit(nn.Module):
                 stride=self.stride if su == 0 else 1,
                 conv_only=self.last_conv_only and su == subunits - 1,
                 fused_norm_act=self.fused_norm_act,
+                fused_conv_block=self.fused_conv_block,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"unit{su}",

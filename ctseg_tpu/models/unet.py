@@ -42,6 +42,9 @@ class UNet(nn.Module):
     param_dtype: Any = jnp.float32
     # Run InstanceNorm+PReLU as one Pallas kernel (TPU; checkpoint-compatible).
     fused_norm_act: bool = False
+    # Run stride-1 3x3 conv+IN+PReLU units as one Pallas kernel where the
+    # shape fits VMEM (TPU; checkpoint-compatible).
+    fused_conv_block: bool = False
     # When True, encoder/decoder activations are exposed through flax's
     # perturb mechanism ('perturbations' collection) so GradCAM can take
     # gradients w.r.t. them (ctseg_tpu/interpret/gradcam.py). No-op for
@@ -53,6 +56,7 @@ class UNet(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             fused_norm_act=self.fused_norm_act,
+            fused_conv_block=self.fused_conv_block,
             name=name,
         )
         if self.num_res_units > 0:
@@ -88,6 +92,7 @@ class UNet(nn.Module):
                 stride=1,
                 subunits=1,
                 last_conv_only=is_top,
+                fused_conv_block=self.fused_conv_block,
                 name=f"{name}_ru",
                 **common,
             )(x)
@@ -145,6 +150,7 @@ class SegmentationModel(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     fused_norm_act: bool = False
+    fused_conv_block: bool = False
     capture_features: bool = False
 
     @nn.compact
@@ -168,6 +174,7 @@ class SegmentationModel(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             fused_norm_act=self.fused_norm_act,
+            fused_conv_block=self.fused_conv_block,
             capture_features=self.capture_features,
             name="unet",
         )(x)

@@ -14,7 +14,15 @@ transpose to the framework's channel-last layout happens outside in XLA.
 
 `fused_window_normalize` is numerically identical to the unfused jnp path
 (windowed_channels -> normalize); tests/test_pallas.py proves it in
-interpret mode and the jnp fallback covers non-TPU platforms.
+interpret mode (and round 1 validated it bitwise-exact on real TPU).
+
+Status: TEST-ONLY EXEMPLAR, deliberately not dispatched from production.
+The production pipelines apply windowing FIRST and normalization LAST with
+crop/resize/warp in between (the reference's op order,
+capstone/transforms/predefined.py:31-105), so the two stages are never
+adjacent on the hot path; the whole on-device augmentation already costs
+~6% of a train step. This file documents the fused-elementwise pattern for
+future front-loaded preprocessing (e.g. an offline packing pass).
 """
 
 import functools
@@ -86,10 +94,3 @@ def fused_window_normalize(
         interpret=interpret,
     )(images.astype(jnp.float32))
     return jnp.moveaxis(out_cf, 1, -1)
-
-
-def window_normalize(images: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch: Pallas kernel on TPU, fused-by-XLA jnp elsewhere."""
-    if images.devices() and next(iter(images.devices())).platform == "tpu":
-        return fused_window_normalize(images)
-    return _jnp_reference(images)

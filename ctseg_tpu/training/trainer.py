@@ -64,6 +64,10 @@ class TrainConfig:
     plateau_patience: int = 10
     plateau_threshold: float = 0.01
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    # Fuse stride-1 3x3 conv+IN+PReLU units into one Pallas kernel (TPU).
+    # Checkpoint-compatible with the unfused path; infeasible shapes fall
+    # back to XLA automatically.
+    fused_conv: bool = False
     spatial_dims: int = 2
     input_size: int = 256  # post-transform spatial size (reference: 256)
     # Optional overrides for non-square/3D inputs; None derives them from
@@ -112,6 +116,7 @@ class Trainer:
             num_res_units=config.num_res_units,
             downsample=config.downsample,
             dtype=dtype,
+            fused_conv_block=config.fused_conv,
         )
         self.loss = MultiLoss(
             list(config.loss_fx), exclude_missing=config.exclude_missing

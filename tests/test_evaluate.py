@@ -150,3 +150,26 @@ def test_eval_epoch_full_coverage(rng):
     # aggregation must reproduce the single-batch value exactly.
     for k in ("t/loss/Focal", "t/loss/Dice"):
         assert m_padded[k] == pytest.approx(m_full[k], rel=1e-5)
+
+
+def test_evaluate_2d_mesh_matches_single_device(rng):
+    """Data-parallel evaluation over the 8-device mesh == single-device."""
+    from ctseg_tpu.parallel import make_mesh
+
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=8, transform_degree=1,
+        input_size=32,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ds = _packed2d(rng, n=19, hw=16)  # 19: exercises padding + mesh rounding
+
+    single = evaluate_2d(tr, state.params, ds, batch_size=8)
+    mesh = make_mesh(8)
+    meshed = evaluate_2d(tr, state.params, ds, batch_size=8, mesh=mesh)
+    assert meshed["num_slices"] == single["num_slices"] == 19
+    np.testing.assert_allclose(
+        [meshed["per_structure_dice"][s] for s in meshed["per_structure_dice"]],
+        [single["per_structure_dice"][s] for s in single["per_structure_dice"]],
+        rtol=1e-5, atol=1e-7,
+    )

@@ -76,3 +76,19 @@ def test_visualize_arrays(rng):
     assert set(gallery) >= {"brain", "soft_tissue", "bone"}
     values = structure_hu_values(img, labels)
     assert len(values) == 9
+
+
+def test_gradcam_all_structures_matches_single(small_model, rng):
+    """The batched 9-class sweep == per-class calls (one jitted pass)."""
+    import numpy as np
+    from ctseg_tpu.interpret import gradcam_all_structures
+
+    model, params = small_model
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    cams = gradcam_all_structures(model, params, x)
+    assert cams.shape == (1, 9, 32, 32)
+    for c in (1, 5, 9):
+        single = gradcam(model, params, x, class_idx=c)
+        np.testing.assert_allclose(
+            np.asarray(cams[:, c - 1]), np.asarray(single), rtol=1e-5, atol=1e-6
+        )
