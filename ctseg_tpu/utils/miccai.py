@@ -1,15 +1,25 @@
-"""Domain model for MICCAI 2015 PDDCA patients (numpy-native).
+"""PDDCA domain model: volumes, patients, collections (numpy, host-side).
 
-Capability parity with reference capstone/utils/miccai.py (Volume / Patient /
-PatientCollection / load_nrrd), redesigned without torch: volumes are numpy
-arrays in channel-first (C, D, H, W) layout on the host; device work happens
-later in the jitted pipeline, not here.
+Covers the reference's data-domain capability (capstone/utils/miccai.py:
+Volume/Patient/PatientCollection and the NRRD ingest contract) with this
+framework's own structure: immutable dataclasses, a shared `CropBox` value
+object for the anatomical crop, functional (non-mutating) volume ops, and
+lazy landmark parsing. Host arrays are channel-first (C, D, H, W); device
+work happens later in the jitted pipeline, never here.
+
+Numeric contracts kept bit-identical to the reference (and pinned by
+tests/test_data.py): NRRD (H, W, D) -> (C, D, H, W) axis order
+(miccai.py:286-296), z-first spacing from the header diagonal
+(miccai.py:77-82), and the empirically derived crop box — x/y absolute
+pixel bounds, z ceil-rounded fractions of the slice count
+(miccai.py:193-227, derived in notebooks/miccai_batch_exploration.ipynb).
 """
 
+import dataclasses
 import functools
 import math
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Tuple, Union
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -22,230 +32,222 @@ from ctseg_tpu.constants import (
 from ctseg_tpu.utils import nrrd_io
 from ctseg_tpu.utils.attrdict import AttrDict
 
+PathLike = Union[str, Path]
+
+# Slicer fiducial CSV column order (*.fcsv files shipped with PDDCA).
 LANDMARK_COLS: List[str] = [
     "id", "x", "y", "z", "ow", "ox", "oy", "oz",
     "vis", "sel", "lock", "label", "desc", "associatedNodeID",
 ]
 
 
-def load_nrrd_as_array(path: Union[str, Path]) -> Tuple[np.ndarray, Dict]:
-    """Load an NRRD volume as a (C, D, H, W) array plus its raw header.
+def load_nrrd_as_array(path: PathLike) -> Tuple[np.ndarray, Dict]:
+    """NRRD file -> ((C, D, H, W) array, raw header).
 
-    PDDCA files store (H, W, D); a missing channel axis is added, then axes are
-    transposed to channel-first/z-first (reference miccai.py:286-296 contract).
+    PDDCA stores (H, W, D); a singleton channel axis is added and axes are
+    reordered channel-first/z-first (the layout every downstream consumer
+    assumes; reference contract miccai.py:286-296).
     """
-    img, headers = nrrd_io.read(path)
+    img, header = nrrd_io.read(path)
     if img.ndim == 3:
-        img = img[:, :, :, np.newaxis]  # (H, W, D, C)
-    array = np.transpose(img, (3, 2, 0, 1))  # (C, D, H, W)
-    return array, headers
+        img = img[..., np.newaxis]  # (H, W, D, C)
+    return np.transpose(img, (3, 2, 0, 1)), header
 
 
+@dataclasses.dataclass(frozen=True)
+class CropBox:
+    """Half-open (lo, hi) bounds per axis of a (C, D, H, W) volume."""
+
+    z: Tuple[int, int]
+    x: Tuple[int, int]
+    y: Tuple[int, int]
+
+    def __post_init__(self):
+        for axis, (lo, hi) in (("z", self.z), ("x", self.x), ("y", self.y)):
+            if lo >= hi:
+                raise ValueError(
+                    f"empty {axis} crop range: [{lo}, {hi}) selects nothing"
+                )
+
+    @classmethod
+    def anatomical(
+        cls,
+        num_slides: int,
+        boundary_x: Tuple[int, int] = CROP_BOUNDARY_X,
+        boundary_y: Tuple[int, int] = CROP_BOUNDARY_Y,
+        boundary_z: Tuple[float, float] = CROP_BOUNDARY_Z,
+    ) -> "CropBox":
+        """The head-and-neck box: x/y in absolute pixels, z as ceil-rounded
+        fractions of the slice count (reference miccai.py:193-227)."""
+        z = (
+            math.ceil(boundary_z[0] * num_slides),
+            math.ceil(boundary_z[1] * num_slides),
+        )
+        return cls(z=z, x=tuple(boundary_x), y=tuple(boundary_y))
+
+    def apply(self, data: np.ndarray) -> np.ndarray:
+        return data[
+            :, self.z[0] : self.z[1], self.x[0] : self.x[1], self.y[0] : self.y[1]
+        ]
+
+
+@dataclasses.dataclass
 class Volume:
-    """One NRRD volume (image or structure mask) as a (C, D, H, W) array."""
+    """One image or binary-mask volume as a (C, D, H, W) array.
 
-    def __init__(self, path: Optional[str] = None, data: Optional[np.ndarray] = None):
-        if path is not None:
-            self._path = str(path)
-            self._data, self._headers = load_nrrd_as_array(path)
-        else:
-            assert data is not None, "Either one of path or data (array) is required"
-            self._path = self._headers = None
-            self._data = self._check_data(data)
-        self._is_data_modified = False
+    Construct from an array directly or via `Volume.from_nrrd`; `crop`
+    returns a new Volume rather than mutating (volumes flow through the
+    conversion pipeline as values).
+    """
+
+    data: np.ndarray
+    path: Optional[str] = None
+    header: Optional[Dict] = None
+
+    def __post_init__(self):
+        self.data = np.asarray(self.data)
+        if self.data.ndim != 4 or self.data.shape[0] != 1:
+            raise ValueError(
+                "Volume wants a (C=1, D, H, W) array, got shape "
+                f"{self.data.shape}"
+            )
+
+    @classmethod
+    def from_nrrd(cls, path: PathLike) -> "Volume":
+        data, header = load_nrrd_as_array(path)
+        return cls(data=data, path=str(path), header=header)
 
     def __repr__(self):
-        return f"Volume(path={self._path})"
-
-    @property
-    def data(self) -> np.ndarray:
-        return self._data
-
-    @data.setter
-    def data(self, arr: np.ndarray) -> None:
-        self._data = self._check_data(arr)
-        self._is_data_modified = True
-
-    @property
-    def path(self) -> Optional[str]:
-        return self._path
-
-    @property
-    def headers(self) -> Optional[Dict]:
-        return self._headers
-
-    @property
-    def is_gray(self) -> bool:
-        return self.data.shape[0] == 1
+        return f"Volume(shape={self.data.shape}, path={self.path})"
 
     @property
     def spacing(self) -> Optional[np.ndarray]:
-        """Voxel spacing in z-first order (matching the (C, D, H, W) layout)."""
-        if self._headers is not None and "space directions" in self._headers:
-            return np.asarray(self._headers["space directions"]).diagonal()[::-1]
+        """Voxel spacing, z-first to match the (C, D, H, W) layout."""
+        if self.header is not None and "space directions" in self.header:
+            return np.asarray(self.header["space directions"]).diagonal()[::-1]
         return None
 
-    @staticmethod
-    def _check_data(data: np.ndarray) -> np.ndarray:
-        assert data.ndim == 4, "Expected data to be of shape: (C, D, H, W)"
-        assert data.shape[0] == 1, "Expected data to be in channel first format"
-        return np.asarray(data)
-
-    def _crop_data(self, min_z, max_z, min_x, max_x, min_y, max_y) -> None:
-        """Crop in place; integer coordinates, no validation (internal use)."""
-        self.data = self.data[:, min_z:max_z, min_x:max_x, min_y:max_y]
+    def crop(self, box: CropBox) -> "Volume":
+        return Volume(data=box.apply(self.data), path=self.path, header=self.header)
 
     def as_numpy(self, reverse_dims: bool = False) -> np.ndarray:
-        arr = self.data
         if reverse_dims:
-            arr = np.transpose(arr, (2, 3, 1, 0))  # back to (H, W, D, C)
-        return arr
+            return np.transpose(self.data, (2, 3, 1, 0))  # (H, W, D, C)
+        return self.data
 
     def as_grid(
         self, nrow: int = 4, pad_value: float = 1.0, reverse_dims: bool = True
     ) -> np.ndarray:
-        """Tile the D slices into a (nH, nW[, C]) gallery image
-        (reference miccai.py:111-123, sans torchvision)."""
+        """Tile the D slices into one (nH, nW[, C]) gallery image (the
+        notebook browser's contact sheet; reference miccai.py:111-123)."""
         data = np.asarray(self.data, dtype=np.float64)  # (1, D, H, W)
-        d, h, w = data.shape[1], data.shape[2], data.shape[3]
-        ncol = nrow
-        nrows = -(-d // ncol)
+        d, h, w = data.shape[1:]
+        rows = -(-d // nrow)
         pad = 2
-        grid = np.full(
-            (nrows * (h + pad) + pad, ncol * (w + pad) + pad), pad_value
-        )
+        grid = np.full((rows * (h + pad) + pad, nrow * (w + pad) + pad), pad_value)
         for i in range(d):
-            r, c = divmod(i, ncol)
-            y = r * (h + pad) + pad
-            x = c * (w + pad) + pad
-            grid[y : y + h, x : x + w] = data[0, i]
-        if reverse_dims:
-            return grid[..., None]  # (nH, nW, C=1)
-        return grid[None]  # (C=1, nH, nW)
+            r, c = divmod(i, nrow)
+            top, left = r * (h + pad) + pad, c * (w + pad) + pad
+            grid[top : top + h, left : left + w] = data[0, i]
+        return grid[..., None] if reverse_dims else grid[None]
+
+
+def _parse_fcsv(path: PathLike) -> List[Dict]:
+    """Parse a Slicer .fcsv fiducial file into row dicts (comments skipped)."""
+    rows = []
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if line and not line.startswith("#"):
+            rows.append(dict(zip(LANDMARK_COLS, line.split(","))))
+    return rows
 
 
 class Patient:
-    """One PDDCA patient directory: img.nrrd + structures/*.nrrd + *.fcsv."""
+    """One PDDCA patient directory: img.nrrd + structures/*.nrrd + *.fcsv.
 
-    def __init__(self, patient_dir: Union[str, Path]):
-        self._patient_dir = str(patient_dir)
-        self.meta_data = self._store_meta_data()
-        self._image = Volume(self.meta_data["image"])
-        self._structures = self._load_structures()
-        self._landmarks = self._load_landmarks()
-        self._is_cropped = False
+    Eagerly loads the CT image and every present structure mask (keyed by
+    the canonical STRUCTURES order, None where a structure was not
+    annotated); landmark parsing is deferred until first access.
+    """
+
+    def __init__(self, patient_dir: PathLike):
+        directory = Path(patient_dir)
+        self._dir = directory
+        self.image = Volume.from_nrrd(directory / "img.nrrd")
+        self.structures = AttrDict()
+        structures_dir = directory / "structures"
+        available = (
+            {p.stem: p for p in structures_dir.iterdir()}
+            if structures_dir.is_dir()
+            else {}
+        )
+        for name in STRUCTURES:
+            path = available.get(name)
+            self.structures[name] = Volume.from_nrrd(path) if path else None
 
     def __repr__(self):
-        return f"Patient(patient_dir={self.patient_dir})"
+        return f"Patient({self._dir})"
 
     @property
-    def image(self) -> Volume:
-        return self._image
-
-    @property
-    def structures(self) -> AttrDict:
-        return self._structures
+    def patient_dir(self) -> str:
+        return str(self._dir)
 
     @property
     def num_slides(self) -> int:
         return self.image.data.shape[1]
 
-    @property
+    @functools.cached_property
     def landmarks(self) -> Optional[List[Dict]]:
-        return self._landmarks
+        fcsv = sorted(self._dir.glob("*.fcsv"))
+        return _parse_fcsv(fcsv[0]) if fcsv else None
 
-    @property
-    def patient_dir(self) -> str:
-        return self._patient_dir
-
-    def _store_meta_data(self) -> Dict:
-        directory = Path(self.patient_dir)
-        meta: Dict = {
-            "image": (directory / "img.nrrd").as_posix(),
-            "structures": {s: None for s in STRUCTURES},
-            "landmarks": None,
-        }
-        fcsv = sorted(directory.glob("*.fcsv"))
-        if fcsv:  # no landmarks for test patients
-            meta["landmarks"] = fcsv[0].as_posix()
-        structures_dir = directory / "structures"
-        if structures_dir.is_dir():
-            for structure_path in structures_dir.iterdir():
-                meta["structures"][structure_path.stem] = structure_path.as_posix()
-        return meta
-
-    def _load_structures(self) -> AttrDict:
-        temp = AttrDict()
-        for structure, path in self.meta_data["structures"].items():
-            temp[structure] = Volume(path) if path is not None else None
-        return temp
-
-    def _load_landmarks(self) -> Optional[List[Dict]]:
-        path = self.meta_data["landmarks"]
-        if path is None:
-            return None
-        rows = []
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line or line.startswith("#"):
-                    continue
-                values = line.split(",")
-                rows.append(dict(zip(LANDMARK_COLS, values)))
-        return rows
+    def present_structures(self) -> List[str]:
+        return [s for s in STRUCTURES if self.structures[s] is not None]
 
     def crop_data(
         self,
         boundary_x: Tuple[int, int] = CROP_BOUNDARY_X,
         boundary_y: Tuple[int, int] = CROP_BOUNDARY_Y,
         boundary_z: Tuple[float, float] = CROP_BOUNDARY_Z,
-    ) -> None:
-        """Crop image + all structures to the anatomically relevant box.
+    ) -> CropBox:
+        """Crop the image and every structure to the anatomical box; the
+        same CropBox is applied to all volumes and returned."""
+        box = CropBox.anatomical(self.num_slides, boundary_x, boundary_y, boundary_z)
+        self.image = self.image.crop(box)
+        for name in self.present_structures():
+            self.structures[name] = self.structures[name].crop(box)
+        return box
 
-        x/y are absolute pixel bounds, z is a fraction of the slide count
-        (ceil-rounded), matching the reference contract (miccai.py:193-227).
-        """
-        min_x, max_x = boundary_x
-        min_y, max_y = boundary_y
-        min_z = math.ceil(boundary_z[0] * self.num_slides)
-        max_z = math.ceil(boundary_z[1] * self.num_slides)
-
-        assert min_x < max_x, "Invalid x-axis boundaries"
-        assert min_y < max_y, "Invalid y-axis boundaries"
-        assert min_z < max_z, "Invalid z-axis boundaries"
-
-        self.image._crop_data(min_z, max_z, min_x, max_x, min_y, max_y)
-        for structure in STRUCTURES:
-            if self.structures[structure] is not None:
-                self.structures[structure]._crop_data(
-                    min_z, max_z, min_x, max_x, min_y, max_y
-                )
-        self._is_cropped = True
-
-    def combine_segmentation_masks(self, structure_list: List[str]) -> np.ndarray:
-        """Logical-OR overlay of several structure masks, shape (C, D, H, W)."""
-        assert len(structure_list) > 1, "A minimum of 2 structures are required"
-        arrays = []
-        for structure in structure_list:
-            assert structure in STRUCTURES, f"Invalid structure argument: {structure}"
-            vol = self.structures[structure]
-            if vol is not None:
-                arrays.append(vol.as_numpy())
-        return functools.reduce(np.logical_or, arrays).astype("uint8")
+    def combine_segmentation_masks(self, names: Sequence[str]) -> np.ndarray:
+        """Logical-OR overlay of the selected structure masks, (C, D, H, W)."""
+        unknown = [n for n in names if n not in STRUCTURES]
+        if unknown:
+            raise ValueError(f"unknown structures: {unknown}; pick from {STRUCTURES}")
+        if len(names) < 2:
+            raise ValueError("combining masks needs at least 2 structures")
+        stacks = [
+            self.structures[n].data.astype(bool)
+            for n in names
+            if self.structures[n] is not None
+        ]
+        return functools.reduce(np.logical_or, stacks).astype(np.uint8)
 
 
 class PatientCollection:
     """All `0522c*` patient directories under a path, with a map helper."""
 
-    def __init__(self, path: Union[str, Path]):
-        self._path = str(path)
+    def __init__(self, path: PathLike):
+        self._path = Path(path)
         self._patient_paths = {
-            directory.name: directory.as_posix()
-            for directory in sorted(Path(path).glob("0522c*"))
+            d.name: d.as_posix() for d in sorted(self._path.glob("0522c*"))
         }
-        assert len(self._patient_paths) > 0, (
-            f"No patients found at the specified location: {path}"
-        )
+        if not self._patient_paths:
+            raise FileNotFoundError(
+                f"no PDDCA patient directories (0522c*) under {self._path}"
+            )
+
+    def __len__(self):
+        return len(self._patient_paths)
 
     @property
     def patient_paths(self) -> Dict[str, str]:
@@ -254,11 +256,11 @@ class PatientCollection:
     def apply_function(
         self, func: Callable, disable_progress: bool = False, **kwargs
     ) -> Dict:
-        """Apply ``func(Patient, **kwargs)`` to every patient; collect results."""
+        """{patient_id: func(Patient, **kwargs)} over the collection."""
         try:
             from tqdm import tqdm
 
-            iterator = tqdm(self.patient_paths.items(), disable=disable_progress)
+            items = tqdm(self.patient_paths.items(), disable=disable_progress)
         except ImportError:
-            iterator = self.patient_paths.items()
-        return {name: func(Patient(path), **kwargs) for name, path in iterator}
+            items = self.patient_paths.items()
+        return {name: func(Patient(path), **kwargs) for name, path in items}
