@@ -115,18 +115,28 @@ def dice_loss(
 
     reduction "none" returns the per-(sample, class) matrix (N, C') where C'
     excludes background when include_background=False.
+
+    Implementation note (TPU): target is one-hot, so sum(target * probs) per
+    class is the sum of the TARGET-class probability over the voxels of that
+    class — a gather + label histogram. Only the per-class probability sums
+    need the full softmax, and that reduction fuses over the logits without
+    materializing an (N, *spatial, C) probability tensor.
     """
     n_classes = logits.shape[-1]
-    probs = jax.nn.softmax(logits, axis=-1)
-    target = jax.nn.one_hot(labels, n_classes, dtype=probs.dtype)
-    if not include_background:
-        probs = probs[..., 1:]
-        target = target[..., 1:]
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    labels_i = labels[..., None].astype(jnp.int32)
+    p_y = jnp.exp(jnp.take_along_axis(logits, labels_i, axis=-1) - logz)[..., 0]
+    target = jax.nn.one_hot(labels, n_classes, dtype=p_y.dtype)
 
-    axes = _spatial_axes(probs)
-    intersection = jnp.sum(target * probs, axis=axes)
-    denominator = jnp.sum(target, axis=axes) + jnp.sum(probs, axis=axes)
-    f = 1.0 - (2.0 * intersection + smooth) / (denominator + smooth)
+    axes = _spatial_axes(target)
+    intersection = jnp.sum(target * p_y[..., None], axis=axes)  # (N, C)
+    target_o = jnp.sum(target, axis=axes)
+    pred_o = jnp.sum(jnp.exp(logits - logz), axis=axes)
+    if not include_background:
+        intersection = intersection[..., 1:]
+        target_o = target_o[..., 1:]
+        pred_o = pred_o[..., 1:]
+    f = 1.0 - (2.0 * intersection + smooth) / (target_o + pred_o + smooth)
 
     if reduction == "mean":
         if sample_mask is not None:
@@ -153,16 +163,19 @@ def generalized_dice_loss(
     code (reference capstone/models/temp.py:149-153).
     """
     n_classes = logits.shape[-1]
-    probs = jax.nn.softmax(logits, axis=-1)
-    target = jax.nn.one_hot(labels, n_classes, dtype=probs.dtype)
-    if not include_background:
-        probs = probs[..., 1:]
-        target = target[..., 1:]
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    labels_i = labels[..., None].astype(jnp.int32)
+    p_y = jnp.exp(jnp.take_along_axis(logits, labels_i, axis=-1) - logz)[..., 0]
+    target = jax.nn.one_hot(labels, n_classes, dtype=p_y.dtype)
 
-    axes = _spatial_axes(probs)
-    intersection = jnp.sum(target * probs, axis=axes)  # (N, C)
+    axes = _spatial_axes(target)
+    intersection = jnp.sum(target * p_y[..., None], axis=axes)  # (N, C)
     ground_o = jnp.sum(target, axis=axes)
-    pred_o = jnp.sum(probs, axis=axes)
+    pred_o = jnp.sum(jnp.exp(logits - logz), axis=axes)
+    if not include_background:
+        intersection = intersection[..., 1:]
+        ground_o = ground_o[..., 1:]
+        pred_o = pred_o[..., 1:]
     denominator = ground_o + pred_o
 
     w = 1.0 / (ground_o * ground_o)  # inf where the class is absent
@@ -192,19 +205,37 @@ def focal_loss(
 
     reduction "none" returns (N, C) — the per-class voxel mean of
     -(1 - p)^gamma * t * log p.
+
+    Implementation note (TPU): the one-hot target zeroes every class but the
+    voxel's own, so -(1-p)^g * t * log p summed over classes equals the same
+    expression evaluated at the TARGET class only. Gathering log p_y and
+    histogramming by label is algebraically identical to the dense
+    (N, *spatial, C) formulation but never materializes C-channel
+    intermediates — the trace showed those chains as multi-hundred-MB loop
+    fusions.
     """
     n_classes = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    target = jax.nn.one_hot(labels, n_classes, dtype=logp.dtype)
-    p = jnp.exp(logp)
-    modulator = jnp.power(1.0 - p, gamma)
-    per_voxel = -modulator * target * logp  # (N, *spatial, C)
-    f = jnp.mean(per_voxel, axis=_spatial_axes(per_voxel))  # (N, C)
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    logp_y = (
+        jnp.take_along_axis(logits, labels[..., None].astype(jnp.int32), axis=-1)
+        - logz
+    )[..., 0]  # (N, *spatial)
+    per_voxel = -jnp.power(1.0 - jnp.exp(logp_y), gamma) * logp_y
+
+    if reduction == "mean" and sample_mask is None:
+        # mean over (N, C) of the per-class voxel means == sum of per-voxel
+        # terms / (N * V * C): each voxel contributes to exactly one class.
+        return jnp.sum(per_voxel) / (per_voxel.size * n_classes)
+
+    # Per-class voxel means: histogram the scalar field by label (lazy
+    # one-hot, fused into the reduction — no (N, V, C) materialization).
+    target = jax.nn.one_hot(labels, n_classes, dtype=per_voxel.dtype)
+    f = jnp.mean(
+        target * per_voxel[..., None], axis=_spatial_axes(target)
+    )  # (N, C)
 
     if reduction == "mean":
-        if sample_mask is not None:
-            return _masked_matrix_mean(f, sample_mask)
-        return jnp.mean(f)
+        return _masked_matrix_mean(f, sample_mask)
     if reduction == "sum":
         return jnp.sum(f)
     return f

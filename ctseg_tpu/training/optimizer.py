@@ -1,0 +1,58 @@
+"""Minimal Adam with a per-step learning-rate argument.
+
+Matches torch.optim.Adam's update exactly (the reference's optimizer,
+capstone/training/base_trainer.py:138-139: Adam(lr), defaults b1=0.9,
+b2=0.999, eps=1e-8, bias-corrected first/second moments, eps OUTSIDE the
+sqrt) — differential-tested against optax.adam in tests/test_schedule.py.
+
+Why not optax: the plateau schedule changes the LR between steps, which with
+optax requires inject_hyperparams and a per-step hyperparams-tree rewrite;
+that indirection measured ~3.3 ms/step on the v5e for what is ~1 ms of
+moment traffic. Here the LR is a plain scalar argument and the whole update
+is three fused tree_maps.
+"""
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AdamState(NamedTuple):
+    count: jnp.ndarray  # int32 step counter
+    mu: Any  # first moment (params-shaped tree)
+    nu: Any  # second moment
+
+
+def adam_init(params) -> AdamState:
+    zeros = lambda p: jnp.zeros_like(p)  # noqa: E731
+    return AdamState(
+        count=jnp.zeros((), jnp.int32),
+        mu=jax.tree.map(zeros, params),
+        nu=jax.tree.map(zeros, params),
+    )
+
+
+def adam_update(
+    grads,
+    state: AdamState,
+    params,
+    lr,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> Tuple[Any, AdamState]:
+    """One Adam step; returns (new_params, new_state). `lr` may be traced."""
+    count = state.count + 1
+    c = count.astype(jnp.float32)
+    bc1 = 1.0 - jnp.power(b1, c)
+    bc2 = 1.0 - jnp.power(b2, c)
+    mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+    nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, grads)
+    scale = lr / bc1
+
+    def step(p, m, v):
+        return p - scale * m / (jnp.sqrt(v / bc2) + eps)
+
+    new_params = jax.tree.map(step, params, mu, nu)
+    return new_params, AdamState(count=count, mu=mu, nu=nu)

@@ -24,7 +24,6 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctseg_tpu.constants import EXPERIMENT_SEED, NUM_CLASSES, STRUCTURES
@@ -35,6 +34,7 @@ from ctseg_tpu.ops import squash_predictions
 from ctseg_tpu.ops.edt import signed_distance_maps_from_labels
 from ctseg_tpu.training import checkpoint as ckpt
 from ctseg_tpu.training.logging import MetricLogger
+from ctseg_tpu.training.optimizer import adam_init, adam_update
 from ctseg_tpu.training.mixup import mixup_tensors, weighted_mixup
 from ctseg_tpu.training.schedule import PlateauState, plateau_init, reduce_on_plateau
 from ctseg_tpu.transforms.pipelines import (
@@ -143,9 +143,9 @@ class Trainer:
         self.test_transform = test_transform or get_transform(
             config.transform_degree, train=False, size=size
         )
-        self.optimizer = optax.inject_hyperparams(optax.adam)(
-            learning_rate=config.lr
-        )
+        # Optimizer: hand-rolled Adam (training/optimizer.py), torch-identical
+        # update with the plateau LR as a plain scalar argument — optax's
+        # inject_hyperparams indirection measured ~3.3 ms/step on v5e.
 
         self._batch_sharding = None
         self._replicated = None
@@ -183,7 +183,7 @@ class Trainer:
         )
         sample = jnp.zeros((1,) + spatial + (in_channels,))
         params = self.model.init(key, sample)
-        opt_state = self.optimizer.init(params)
+        opt_state = adam_init(params)
         state = TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
@@ -257,12 +257,9 @@ class Trainer:
         )(state.params)
 
         # Adam with the plateau-controlled learning rate.
-        opt_state = state.opt_state
-        hyper = dict(opt_state.hyperparams)
-        hyper["learning_rate"] = state.plateau.lr
-        opt_state = opt_state._replace(hyperparams=hyper)
-        updates, opt_state = self.optimizer.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = adam_update(
+            grads, state.opt_state, state.params, state.plateau.lr
+        )
 
         # Dice logging (reference logs it every step, epoch-averaged,
         # base_trainer.py:120-136). exclude_missing zeroes the logits of

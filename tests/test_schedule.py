@@ -58,3 +58,39 @@ def test_plateau_repeated_reductions():
     ref = torch_lr_trace(metrics)
     np.testing.assert_allclose(ours, ref)
     assert ours[-1] < 5e-4  # multiple halvings
+
+
+def test_adam_matches_optax():
+    """Hand-rolled Adam == optax.adam (torch-identical update) over 5 steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ctseg_tpu.training.optimizer import adam_init, adam_update
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+    }
+    lr = 1e-3
+    opt = optax.adam(lr)
+    o_state = opt.init(params)
+    a_state = adam_init(params)
+    a_params = params
+    for i in range(5):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32)
+            ),
+            params,
+        )
+        updates, o_state = opt.update(grads, o_state, params)
+        params = optax.apply_updates(params, updates)
+        a_params, a_state = adam_update(grads, a_state, a_params, lr)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(a_params[k]), np.asarray(params[k]),
+                rtol=1e-6, atol=1e-7,
+            )
