@@ -65,9 +65,12 @@ def cross_entropy_loss(
     With `weight` (C,), matches torch's weighted mean: sum(w_y * ce) / sum(w_y).
     `sample_mask` (N,) restricts the mean to valid rows (padded eval batches).
     """
+    # One-hot contraction, not take_along_axis: a voxel gather differentiates
+    # to a scatter-add over every voxel, which measured ~14x slower than the
+    # dense select on TPU (perf/probe_loss_grad.py).
     logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
-    ce = -picked[..., 0]  # (N, *spatial)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    ce = -jnp.sum(onehot * logp, axis=-1)  # (N, *spatial)
     w = None
     if weight is not None:
         w = jnp.asarray(weight, dtype=ce.dtype)[labels]
@@ -116,22 +119,19 @@ def dice_loss(
     reduction "none" returns the per-(sample, class) matrix (N, C') where C'
     excludes background when include_background=False.
 
-    Implementation note (TPU): target is one-hot, so sum(target * probs) per
-    class is the sum of the TARGET-class probability over the voxels of that
-    class — a gather + label histogram. Only the per-class probability sums
-    need the full softmax, and that reduction fuses over the logits without
-    materializing an (N, *spatial, C) probability tensor.
+    Implementation note (TPU): everything stays a dense one-hot contraction.
+    A take_along_axis gather of the target-class probability reads nicer but
+    differentiates to a scatter-add over every voxel — measured ~10x slower
+    in fwd+bwd at the training shape (perf/probe_loss_grad.py).
     """
     n_classes = logits.shape[-1]
-    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-    labels_i = labels[..., None].astype(jnp.int32)
-    p_y = jnp.exp(jnp.take_along_axis(logits, labels_i, axis=-1) - logz)[..., 0]
-    target = jax.nn.one_hot(labels, n_classes, dtype=p_y.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    target = jax.nn.one_hot(labels, n_classes, dtype=probs.dtype)
 
     axes = _spatial_axes(target)
-    intersection = jnp.sum(target * p_y[..., None], axis=axes)  # (N, C)
+    intersection = jnp.sum(target * probs, axis=axes)  # (N, C)
     target_o = jnp.sum(target, axis=axes)
-    pred_o = jnp.sum(jnp.exp(logits - logz), axis=axes)
+    pred_o = jnp.sum(probs, axis=axes)
     if not include_background:
         intersection = intersection[..., 1:]
         target_o = target_o[..., 1:]
@@ -163,15 +163,13 @@ def generalized_dice_loss(
     code (reference capstone/models/temp.py:149-153).
     """
     n_classes = logits.shape[-1]
-    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-    labels_i = labels[..., None].astype(jnp.int32)
-    p_y = jnp.exp(jnp.take_along_axis(logits, labels_i, axis=-1) - logz)[..., 0]
-    target = jax.nn.one_hot(labels, n_classes, dtype=p_y.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    target = jax.nn.one_hot(labels, n_classes, dtype=probs.dtype)
 
     axes = _spatial_axes(target)
-    intersection = jnp.sum(target * p_y[..., None], axis=axes)  # (N, C)
+    intersection = jnp.sum(target * probs, axis=axes)  # (N, C)
     ground_o = jnp.sum(target, axis=axes)
-    pred_o = jnp.sum(jnp.exp(logits - logz), axis=axes)
+    pred_o = jnp.sum(probs, axis=axes)
     if not include_background:
         intersection = intersection[..., 1:]
         ground_o = ground_o[..., 1:]
@@ -208,18 +206,15 @@ def focal_loss(
 
     Implementation note (TPU): the one-hot target zeroes every class but the
     voxel's own, so -(1-p)^g * t * log p summed over classes equals the same
-    expression evaluated at the TARGET class only. Gathering log p_y and
-    histogramming by label is algebraically identical to the dense
-    (N, *spatial, C) formulation but never materializes C-channel
-    intermediates — the trace showed those chains as multi-hundred-MB loop
-    fusions.
+    expression evaluated at the TARGET class only — computed here as a dense
+    one-hot contraction (select + reduce). A take_along_axis gather of
+    log p_y differentiates to a scatter-add over every voxel and measured
+    ~14x slower in fwd+bwd (perf/probe_loss_grad.py).
     """
     n_classes = logits.shape[-1]
-    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-    logp_y = (
-        jnp.take_along_axis(logits, labels[..., None].astype(jnp.int32), axis=-1)
-        - logz
-    )[..., 0]  # (N, *spatial)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    target = jax.nn.one_hot(labels, n_classes, dtype=logp.dtype)
+    logp_y = jnp.sum(target * logp, axis=-1)  # (N, *spatial)
     per_voxel = -jnp.power(1.0 - jnp.exp(logp_y), gamma) * logp_y
 
     if reduction == "mean" and sample_mask is None:
@@ -227,9 +222,8 @@ def focal_loss(
         # terms / (N * V * C): each voxel contributes to exactly one class.
         return jnp.sum(per_voxel) / (per_voxel.size * n_classes)
 
-    # Per-class voxel means: histogram the scalar field by label (lazy
-    # one-hot, fused into the reduction — no (N, V, C) materialization).
-    target = jax.nn.one_hot(labels, n_classes, dtype=per_voxel.dtype)
+    # Per-class voxel means of the scalar field (the one-hot select fuses
+    # into the reduction — no standalone (N, V, C) tensor survives fusion).
     f = jnp.mean(
         target * per_voxel[..., None], axis=_spatial_axes(target)
     )  # (N, C)

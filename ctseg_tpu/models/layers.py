@@ -12,6 +12,7 @@ i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both kernel and bias) so training
 dynamics match the reference.
 """
 
+import itertools
 from typing import Any
 
 import flax.linen as nn
@@ -202,6 +203,190 @@ class ConvUnit(nn.Module):
         return x
 
 
+def _polyphase_taps(kernel_size: int, stride: int):
+    """Per-output-phase tap decomposition of a stride-s transposed conv.
+
+    With the unit's padding convention (pad_lo = k-1-p, p = (k-1)//2,
+    output_padding = s-1, i.e. out = in * s), output index s*m + r draws
+    from input taps  out[s*m+r] += x[m+q] * w[t]  exactly for the (q, t)
+    pairs with (r + t - pad_lo) % s == 0, q = (r + t - pad_lo) // s.
+    As t steps by s, q steps by 1, so each phase's taps are contiguous in q.
+
+    Returns, per phase r: (pad_lo_r, pad_hi_r, t_indices) such that a plain
+    stride-1 cross-correlation of x (padded (pad_lo_r, pad_hi_r)) with
+    w[t_indices] yields that phase's length-H output.
+    """
+    p = (kernel_size - 1) // 2
+    pad_lo = kernel_size - 1 - p
+    phases = []
+    for r in range(stride):
+        taps = sorted(
+            ((r + t - pad_lo) // stride, t)
+            for t in range(kernel_size)
+            if (r + t - pad_lo) % stride == 0
+        )
+        if not taps:  # k < s: this phase receives no input taps (zeros)
+            phases.append((0, 0, ()))
+            continue
+        q_min = taps[0][0]
+        # pl may be negative (crop) — lax conv padding supports that; an
+        # out-of-range high tap just reads the zero high padding.
+        pl = -q_min
+        pr = len(taps) - 1 - pl
+        phases.append((pl, pr, tuple(t for _, t in taps)))
+    return phases
+
+
+_CONV_DIMS = {1: ("NWC", "WIO", "NWC"), 2: ("NHWC", "HWIO", "NHWC"),
+              3: ("NDHWC", "DHWIO", "NDHWC")}
+
+
+def polyphase_conv_transpose(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: int,
+    dtype: Any,
+    mode: str = "phases",
+) -> jnp.ndarray:
+    """Stride-s transposed conv as s^ndim dense stride-1 convs + interleave.
+
+    mode "phases": one conv per output phase with exactly that phase's taps
+    (k^ndim total MACs, no zeros). mode "packed": ONE conv producing
+    s^ndim * Cout channels from a zero-padded (Kp)^ndim kernel grid +
+    depth-to-space ((Kp*s/k)^ndim MAC overhead, single pass).
+
+    Numerically equal (same taps, same products) to
+    nn.ConvTranspose(kernel_size=k, strides=s, padding=[(k-1-p, k-p+s-2)])
+    — the torch ConvTranspose(k, s, padding=p, output_padding=s-1)
+    convention with out = in * s — but with no input dilation: XLA lowers
+    dilated-input convolutions on TPU at ~35% MXU utilization (at stride 2,
+    3 of every 4 input taps are inserted zeros), while the per-phase
+    subkernels here are fully dense, with the exact original MAC count
+    (sum of per-phase tap counts over all phases == k^ndim).
+
+    kernel: (*k, Cin, Cout) in nn.ConvTranspose layout (no spatial flip).
+    """
+    ndim = x.ndim - 2
+    s = stride
+    cout = kernel.shape[-1]
+    # out = in * s only holds for odd k under this padding convention
+    # (out = s*in + k-1-2p); the unit falls back to nn.ConvTranspose
+    # for even kernel sizes.
+    assert kernel.shape[0] % 2 == 1, "polyphase path requires odd kernel size"
+    phases = _polyphase_taps(kernel.shape[0], s)
+    dims = jax.lax.conv_dimension_numbers(
+        x.shape, (1,) * ndim + kernel.shape[-2:], _CONV_DIMS[ndim]
+    )
+
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    if mode == "packed":
+        return _packed_conv_transpose(x, kernel, bias, s, dtype, phases)
+    outs = []
+    for rvec in itertools.product(range(s), repeat=ndim):
+        if any(not phases[r][2] for r in rvec):  # k < s: tap-free phase
+            outs.append(
+                jnp.zeros((x.shape[0],) + x.shape[1:-1] + (cout,), dtype)
+            )
+            continue
+        sub = kernel
+        pads = []
+        for axis, r in enumerate(rvec):
+            pl, pr, t_idx = phases[r]
+            sub = jnp.take(sub, jnp.asarray(t_idx), axis=axis)
+            pads.append((pl, pr))
+        outs.append(
+            jax.lax.conv_general_dilated(
+                x, sub, window_strides=(1,) * ndim, padding=pads,
+                dimension_numbers=dims,
+            )
+        )
+
+    # Interleave: out[n, s*m1+r1, ..., c] = phase_(r1..rn)[n, m1, ..., c].
+    n = x.shape[0]
+    spatial = x.shape[1:-1]
+    y = jnp.stack(outs, axis=-2)  # (N, *S, P, Cout), P in (r1..rn) order
+    y = y.reshape((n,) + spatial + (s,) * ndim + (cout,))
+    perm = [0]
+    for i in range(ndim):
+        perm += [1 + i, 1 + ndim + i]
+    perm.append(1 + 2 * ndim)
+    y = y.transpose(perm).reshape(
+        (n,) + tuple(s * d for d in spatial) + (cout,)
+    )
+    return y + bias.astype(dtype)
+
+
+def _packed_conv_transpose(x, kernel, bias, s, dtype, phases):
+    """One dense conv to (..., s^ndim * Cout) + depth-to-space interleave.
+
+    The packed kernel embeds every phase's taps on a shared (Kp,)*ndim grid
+    (zeros where a phase has no tap at that offset), so a single stride-1
+    conv computes all phases at once; channel layout is (r1..rn, co)-major
+    to match the interleave reshape.
+    """
+    ndim = x.ndim - 2
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[-2:]
+    n = x.shape[0]
+    spatial = x.shape[1:-1]
+
+    # Global q grid shared by every phase, straight from the tap equation.
+    pad_lo = k - 1 - (k - 1) // 2
+    qs = [
+        (r + t - pad_lo) // s
+        for r in range(s)
+        for t in range(k)
+        if (r + t - pad_lo) % s == 0
+    ]
+    q_min, q_max = min(qs), max(qs)
+    kp = q_max - q_min + 1
+
+    # K[d1..dn, ci, r1..rn, co], zero where a phase lacks a tap at d.
+    packed = jnp.zeros((kp,) * ndim + (cin,) + (s,) * ndim + (cout,), dtype)
+    for rvec in itertools.product(range(s), repeat=ndim):
+        if any(not phases[r][2] for r in rvec):
+            continue  # tap-free phase stays zero
+        sub = kernel
+        dvec = []
+        for axis, r in enumerate(rvec):
+            taps = sorted(
+                ((r + t - pad_lo) // s, t)
+                for t in range(k)
+                if (r + t - pad_lo) % s == 0
+            )
+            sub = jnp.take(sub, jnp.asarray([t for _, t in taps]), axis=axis)
+            dvec.append([q - q_min for q, _ in taps])
+        slot = (
+            jnp.ix_(*[jnp.asarray(d) for d in dvec])
+            + (slice(None),)
+            + tuple(slice(r, r + 1) for r in rvec)
+            + (slice(None),)
+        )
+        packed = packed.at[slot].set(
+            sub.reshape(sub.shape[:-1] + (1,) * ndim + (cout,))
+        )
+
+    dims = jax.lax.conv_dimension_numbers(
+        x.shape, (1,) * ndim + (cin, s**ndim * cout), _CONV_DIMS[ndim]
+    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        packed.reshape((kp,) * ndim + (cin, s**ndim * cout)),
+        window_strides=(1,) * ndim,
+        padding=[(-q_min, kp - 1 + q_min)] * ndim,
+        dimension_numbers=dims,
+    )
+    y = y.reshape((n,) + spatial + (s,) * ndim + (cout,))
+    perm = [0]
+    for i in range(ndim):
+        perm += [1 + i, 1 + ndim + i]
+    perm.append(1 + 2 * ndim)
+    y = y.transpose(perm).reshape((n,) + tuple(s * d for d in spatial) + (cout,))
+    return y + bias.astype(dtype)
+
+
 class ConvTransposeUnit(nn.Module):
     """Transposed conv (exactly doubles spatial dims at stride 2) -> IN -> PReLU.
 
@@ -215,6 +400,15 @@ class ConvTransposeUnit(nn.Module):
     stride: int = 2
     conv_only: bool = False
     fused_norm_act: bool = False
+    # Compute the transposed conv as dense per-phase stride-1 convs
+    # (polyphase / subpixel decomposition) instead of XLA's dilated-input
+    # lowering. Same taps and products — the parameter tree is identical
+    # and checkpoints are interchangeable. Default OFF: measured on v5e
+    # (perf/probe_transp.py, bf16 fwd+bwd at every Model L up site), the
+    # dilated XLA lowering wins or ties both decompositions — these sites
+    # are HBM-bound, so eliminating the zero MACs buys nothing and the
+    # extra interleave pass costs a full output round-trip.
+    polyphase: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -225,16 +419,28 @@ class ConvTransposeUnit(nn.Module):
         pad_lo = self.kernel_size - 1 - p
         pad_hi = self.kernel_size - 1 - p + self.stride - 1
         fan_in = x.shape[-1] * self.kernel_size ** ndim
-        x = nn.ConvTranspose(
-            features=self.features,
-            kernel_size=(self.kernel_size,) * ndim,
-            strides=(self.stride,) * ndim,
-            padding=[(pad_lo, pad_hi)] * ndim,
-            kernel_init=torch_kernel_init,
-            bias_init=_torch_bias_init(fan_in),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        if self.polyphase and self.stride > 1 and self.kernel_size % 2 == 1:
+            kernel, bias = _ConvParams(
+                kernel_shape=(self.kernel_size,) * ndim
+                + (x.shape[-1], self.features),
+                fan_in=fan_in,
+                param_dtype=self.param_dtype,
+                name="ConvTranspose_0",
+            )()
+            x = polyphase_conv_transpose(
+                x, kernel, bias, self.stride, self.dtype
+            )
+        else:
+            x = nn.ConvTranspose(
+                features=self.features,
+                kernel_size=(self.kernel_size,) * ndim,
+                strides=(self.stride,) * ndim,
+                padding=[(pad_lo, pad_hi)] * ndim,
+                kernel_init=torch_kernel_init,
+                bias_init=_torch_bias_init(fan_in),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
         if not self.conv_only:
             if self.fused_norm_act:
                 x = PReLU(

@@ -45,6 +45,10 @@ class UNet(nn.Module):
     # Run stride-1 3x3 conv+IN+PReLU units as one Pallas kernel where the
     # shape fits VMEM (TPU; checkpoint-compatible).
     fused_conv_block: bool = False
+    # Decoder transposed convs as dense polyphase convs (models/layers.py::
+    # polyphase_conv_transpose) instead of XLA's dilated-input lowering.
+    # OFF by default — measured slower on v5e (see ConvTransposeUnit).
+    polyphase_up: bool = False
     # When True, encoder/decoder activations are exposed through flax's
     # perturb mechanism ('perturbations' collection) so GradCAM can take
     # gradients w.r.t. them (ctseg_tpu/interpret/gradcam.py). No-op for
@@ -82,6 +86,7 @@ class UNet(nn.Module):
             kernel_size=self.up_kernel_size,
             stride=stride,
             conv_only=is_top and self.num_res_units == 0,
+            polyphase=self.polyphase_up,
             name=f"{name}_transp",
             **common,
         )(x)
@@ -151,6 +156,7 @@ class SegmentationModel(nn.Module):
     param_dtype: Any = jnp.float32
     fused_norm_act: bool = False
     fused_conv_block: bool = False
+    polyphase_up: bool = False
     capture_features: bool = False
 
     @nn.compact
@@ -175,6 +181,7 @@ class SegmentationModel(nn.Module):
             param_dtype=self.param_dtype,
             fused_norm_act=self.fused_norm_act,
             fused_conv_block=self.fused_conv_block,
+            polyphase_up=self.polyphase_up,
             capture_features=self.capture_features,
             name="unet",
         )(x)

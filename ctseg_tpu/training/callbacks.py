@@ -3,8 +3,11 @@
 Capability parity with the reference's ExamplesLoggingCallback
 (capstone/training/callbacks.py:9-105): every `every_n_epochs` epochs, run
 the model on a fixed random subset of validation samples and write
-prediction/ground-truth overlay panels — to PNG files on disk (and W&B when
-a run is active), instead of W&B-only.
+prediction/ground-truth overlay panels — to PNG files on disk, plus, when a
+W&B run is active, semantic segmentation images with per-class mask layers
+and class labels ({0: "Void", 1..9: STRUCTURES}), exactly the reference's
+wandb.Image(masks={"predictions", "ground_truth"}) contract
+(capstone/training/callbacks.py:80-105).
 """
 
 from pathlib import Path
@@ -13,9 +16,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ctseg_tpu.constants import STRUCTURES
 from ctseg_tpu.ops import squash_predictions
 from ctseg_tpu.transforms.pipelines import batched_transform
 from ctseg_tpu.utils.visualize import overlay_labels
+
+# {0: "Void", 1: "BrainStem", ...} — capstone/training/callbacks.py:84-85.
+CLASS_LABELS = {0: "Void", **{i + 1: s for i, s in enumerate(STRUCTURES)}}
 
 
 class ExamplesLoggingCallback:
@@ -46,6 +53,18 @@ class ExamplesLoggingCallback:
             trainer.test_transform, jax.random.key(0), images, labels
         )
         logits = trainer.model.apply(state.params, img_t)
+        if getattr(trainer.config, "exclude_missing", False):
+            # Zero the logits of structures absent from the annotation
+            # (no indicator for background) before squashing — the
+            # reference's exclude_missing display path
+            # (capstone/training/callbacks.py:70-75).
+            ind = jnp.asarray(
+                self.dataset.indicators[self.indices], logits.dtype
+            )
+            ind = ind[:, None, None, :]  # (N, 1, 1, S) over (N, H, W, C)
+            logits = jnp.concatenate(
+                [logits[..., :1], logits[..., 1:] * ind], axis=-1
+            )
         preds = np.asarray(squash_predictions(logits))
         img_np = np.asarray(img_t)
         lab_np = np.asarray(lab_t)
@@ -63,12 +82,28 @@ class ExamplesLoggingCallback:
             )
             name = self.dataset.names[idx]
             np.save(out / f"{name}.npy", panel)
-            try:  # reference parity: push overlays to an active W&B run
+            try:  # reference parity: push semantic masks to an active W&B run
                 import wandb
 
                 if wandb.run is not None:
+                    semantic = wandb.Image(
+                        np.repeat(base01[..., None], 3, -1),
+                        masks={
+                            "predictions": {
+                                "mask_data": preds[j],
+                                "class_labels": CLASS_LABELS,
+                            },
+                            "ground_truth": {
+                                "mask_data": lab_np[j],
+                                "class_labels": CLASS_LABELS,
+                            },
+                        },
+                    )
                     wandb.log(
-                        {f"examples/{name}": wandb.Image(panel)},
+                        {
+                            f"examples/{name}": semantic,
+                            f"examples/{name}_panel": wandb.Image(panel),
+                        },
                         step=int(state.step),
                     )
             except ImportError:

@@ -68,6 +68,10 @@ class TrainConfig:
     # Checkpoint-compatible with the unfused path; infeasible shapes fall
     # back to XLA automatically.
     fused_conv: bool = False
+    # Decoder transposed convs as dense polyphase convs (checkpoint-
+    # compatible; see models/layers.py::polyphase_conv_transpose).
+    # OFF by default: measured slower than XLA's lowering on v5e.
+    polyphase_up: bool = False
     spatial_dims: int = 2
     input_size: int = 256  # post-transform spatial size (reference: 256)
     # Optional overrides for non-square/3D inputs; None derives them from
@@ -117,6 +121,7 @@ class Trainer:
             downsample=config.downsample,
             dtype=dtype,
             fused_conv_block=config.fused_conv,
+            polyphase_up=config.polyphase_up,
         )
         self.loss = MultiLoss(
             list(config.loss_fx), exclude_missing=config.exclude_missing

@@ -1,4 +1,11 @@
-"""Multi-host helpers exercised in single-process mode, and mesh utilities."""
+"""Multi-host helpers: single-process mode, mesh utilities, and a REAL
+two-process run (subprocess CPU workers + gloo collectives)."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
 
 import jax
 import numpy as np
@@ -50,3 +57,44 @@ def test_make_mesh_subsets_and_shardings():
 def test_make_mesh_2d():
     mesh = make_mesh(8, axis_names=("data", "space"), shape=(4, 2))
     assert mesh.shape == {"data": 4, "space": 2}
+
+
+def test_two_process_collectives():
+    """initialize + global_mesh + host_local_batch_to_global across two real
+    OS processes (2 virtual CPU devices each; all-reduce over gloo)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = Path(__file__).resolve().parents[1]
+    env = {
+        k: v for k, v in os.environ.items() if k not in ("PYTHONPATH", "XLA_FLAGS")
+    }
+    env.update(
+        PYTHONPATH=str(repo),
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    worker = str(repo / "tests" / "_distributed_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), "2"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail(f"distributed workers timed out; partial output: {outs}")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "OK 96.0" in out, out

@@ -90,6 +90,51 @@ def test_examples_callback(tmp_path, rng):
     assert len(list(out.glob("*.npy"))) == 3
 
 
+def test_examples_callback_exclude_missing_zeroes_logits(tmp_path, rng):
+    """With exclude_missing, a structure absent from the annotation is zeroed
+    in the displayed prediction (capstone/training/callbacks.py:70-75)."""
+    from ctseg_tpu.training.callbacks import ExamplesLoggingCallback
+
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=4, transform_degree=1,
+        input_size=32, exclude_missing=True,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ds = _packed2d(rng, n=4)
+    ds.indicators[:] = 0.0  # every structure missing from every annotation
+
+    cb = ExamplesLoggingCallback(ds, tmp_path, every_n_epochs=1, max_examples=4)
+    cb(tr, state, epoch=0)
+
+    # Reproduce the callback's forward (deterministic) and assert the panel
+    # shows the zeroed-logit squash, not the raw argmax.
+    import jax
+    import jax.numpy as jnp
+
+    import ctseg_tpu.ops as ops
+    from ctseg_tpu.transforms.pipelines import batched_transform
+
+    images = jnp.asarray(ds.images[cb.indices], jnp.float32)
+    labels = jnp.asarray(ds.labels[cb.indices], jnp.int32)
+    img_t, _ = batched_transform(
+        tr.test_transform, jax.random.key(0), images, labels
+    )
+    logits = tr.model.apply(state.params, img_t)
+    zeroed = jnp.concatenate(
+        [logits[..., :1], jnp.zeros_like(logits[..., 1:])], axis=-1
+    )
+    expected = np.asarray(ops.squash_predictions(zeroed))
+    for j, name in enumerate(np.asarray(ds.names)[cb.indices]):
+        panel = np.load(tmp_path / "epoch_0001" / f"{name}.npy")
+        h = panel.shape[0]
+        pred_overlay = panel[:, h : 2 * h]
+        base = panel[:, :h]
+        # Pixels where prediction == background show the raw grayscale base.
+        bg = expected[j] == 0
+        np.testing.assert_allclose(pred_overlay[bg], base[bg], atol=1e-6)
+
+
 def test_padded_epoch_covers_every_sample(rng):
     """padded_epoch yields every index exactly once + a correct valid mask."""
     from ctseg_tpu.data.pipeline import DevicePipeline2D
