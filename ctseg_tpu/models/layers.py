@@ -57,6 +57,63 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
 
 
+@jax.custom_vjp
+def instance_norm_prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """InstanceNorm (no affine, eps 1e-5) + shared-slope PReLU, one unit.
+
+    Identical math to instance_norm followed by PReLU, but with a custom
+    VJP whose only large residual is the OUTPUT itself: PReLU is invertible
+    (xhat = y where y >= 0 else y / alpha), so the backward reconstructs the
+    normalized activation from y instead of re-reading and re-normalizing x.
+    This removes every backward-pass read of x (the converted f32 stats
+    chain was ~30% of train-step device time before; measured in
+    perf/profile_step.py traces).
+
+    Caveat: reconstruction divides by alpha, so alpha must stay away from 0
+    (it is a learned scalar, init 0.25; the reference never decays it).
+    """
+    out, _ = _in_prelu_fwd(x, alpha)
+    return out
+
+
+def _in_prelu_fwd(x, alpha):
+    eps = 1e-5
+    axes = tuple(range(1, x.ndim - 1))
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+    rstd = jax.lax.rsqrt(jnp.maximum(mean_sq - jnp.square(mean), 0.0) + eps)
+    xhat = (x32 - mean) * rstd
+    a = alpha.reshape(()).astype(xhat.dtype)
+    y = jnp.where(xhat >= 0, xhat, a * xhat).astype(x.dtype)
+    return y, (y, rstd, alpha)
+
+
+def _in_prelu_bwd(res, dy):
+    y, rstd, alpha = res
+    in_dtype = y.dtype  # y was cast to x's dtype in the forward
+    axes = tuple(range(1, y.ndim - 1))
+    n = 1.0
+    for ax in axes:
+        n *= y.shape[ax]
+    ctype = jnp.promote_types(y.dtype, jnp.float32)  # f32 stats under bf16
+    a = alpha.reshape(()).astype(ctype)
+    y32 = y.astype(ctype)
+    dy32 = dy.astype(ctype)
+    pos = y32 >= 0
+    xhat = jnp.where(pos, y32, y32 / a)
+    dxhat = jnp.where(pos, dy32, a * dy32)
+    dalpha = jnp.sum(jnp.where(pos, 0.0, dy32 * xhat))
+    # d instance_norm: dx = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat*xhat))
+    m1 = jnp.mean(dxhat, axis=axes, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=axes, keepdims=True)
+    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(in_dtype)
+    return dx, dalpha.reshape(alpha.shape).astype(alpha.dtype)
+
+
+instance_norm_prelu.defvjp(_in_prelu_fwd, _in_prelu_bwd)
+
+
 class PReLU(nn.Module):
     """PReLU with a single shared learnable slope (torch nn.PReLU default).
 
@@ -205,8 +262,10 @@ class ConvUnit(nn.Module):
                     param_dtype=self.param_dtype, fused_instance_norm=True
                 )(x)
             else:
-                x = instance_norm(x)
-                x = PReLU(param_dtype=self.param_dtype)(x)
+                alpha = _PReLUParam(
+                    param_dtype=self.param_dtype, name="PReLU_0"
+                )()
+                x = instance_norm_prelu(x, alpha)
         return x
 
 
@@ -454,8 +513,10 @@ class ConvTransposeUnit(nn.Module):
                     param_dtype=self.param_dtype, fused_instance_norm=True
                 )(x)
             else:
-                x = instance_norm(x)
-                x = PReLU(param_dtype=self.param_dtype)(x)
+                alpha = _PReLUParam(
+                    param_dtype=self.param_dtype, name="PReLU_0"
+                )()
+                x = instance_norm_prelu(x, alpha)
         return x
 
 

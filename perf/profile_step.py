@@ -47,19 +47,33 @@ def main():
     float(metrics["loss/total"])
     jax.profiler.stop_trace()
 
-    xplanes = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    print("xplane:", xplanes)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # Parse the Chrome trace directly (the tensorboard profile plugin's
+    # protobufs are incompatible with this container's protobuf version).
+    import collections
+    import gzip
+    import re
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats^", {}
-    )
-    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # framework_op_stats returns a JSON of tables; dump the device table rows
-    # sorted by total self time.
-    with open(f"{logdir}/op_stats.json", "w") as f:
-        f.write(data if isinstance(data, str) else json.dumps(rows))
-    print("written:", f"{logdir}/op_stats.json")
+    traces = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    with gzip.open(traces[-1]) as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    agg = collections.defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
+            continue
+        n = e.get("name", "")
+        if n.startswith("jit_") or re.fullmatch(r"\d+", n):
+            continue  # step envelopes
+        agg[re.sub(r"\.\d+$", "", n)] += e.get("dur", 0) / 1000.0 / 5
+    total = sum(agg.values())
+    print(f"total {total:.1f} ms/step across {len(agg)} op classes")
+    for n, d in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{d:8.2f} ms  {n}")
 
 
 if __name__ == "__main__":
