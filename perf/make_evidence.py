@@ -1,0 +1,290 @@
+"""Reproducible end-to-end evidence run -> EVIDENCE_r2.json.
+
+Runs the whole demonstration suite on the current hardware (real TPU under
+axon; also works on CPU, just slower): synthetic PDDCA-layout patients
+through the real split/convert/pack pipeline, the reference's exact Model L
+200-epoch full-data recipe with FULL-test-split evaluation (every slice —
+the round-1 run silently dropped the trailing partial batch), a Model M
+(mixup + boundary-loss) demo, the 3D patch-training + sliding-window
+Dice/HD95 path with steady-state vols/min, and the batched GradCAM sweep.
+
+Usage (from /root/repo):  python perf/make_evidence.py [--fast]
+--fast shrinks epochs/model for a smoke run (does not overwrite EVIDENCE).
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_workspace(ws: Path, shape=(40, 512, 512)) -> Path:
+    if (ws / "miccai_2d" / "train_packed.npz").exists():
+        print("workspace cached:", ws, flush=True)
+        return ws
+    from ctseg_tpu.data.download import prepare_miccai
+    from ctseg_tpu.data.process_miccai import (
+        convert_to_2d,
+        convert_to_3d,
+        pack_2d,
+        pack_3d,
+    )
+    from ctseg_tpu.testing.synth import make_patient
+
+    print("building workspace:", ws, flush=True)
+    miccai = ws / "miccai"
+    ids = list(range(1, 34)) + list(range(555, 570))
+    for i, pid in enumerate(ids):
+        make_patient(
+            miccai / f"0522c{pid:04d}", shape=shape, seed=i,
+            with_landmarks=pid < 480,
+        )
+    prepare_miccai(str(miccai), download=False)
+    # The anatomical crop boundaries assume 512x512 scans; skip the crop for
+    # small smoke-run volumes (testing/synth convention, see verify skill).
+    crop = shape[1] >= 512
+    for split in ("train", "valid", "test"):
+        convert_to_2d(miccai, ws / "miccai_2d", split, crop=crop)
+        convert_to_3d(miccai, ws / "miccai_3d", split, crop=crop)
+    pack_2d(ws / "miccai_2d")
+    pack_3d(ws / "miccai_3d")
+    return ws
+
+
+def model_l_full_recipe(ws: Path, epochs: int, filters, batch: int, input_size: int):
+    """Reference final-model recipe: train+valid, 200 epochs, test eval
+    (capstone/training/base_trainer.py:225-246)."""
+    import jax
+
+    from ctseg_tpu.data.datasets import PackedDataset2D
+    from ctseg_tpu.data.pipeline import DevicePipeline2D
+    from ctseg_tpu.inference.evaluate import evaluate_2d
+    from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+    train = PackedDataset2D.load(ws / "miccai_2d" / "train_packed.npz")
+    valid = PackedDataset2D.load(ws / "miccai_2d" / "valid_packed.npz")
+    test = PackedDataset2D.load(ws / "miccai_2d" / "test_packed.npz")
+    full = PackedDataset2D.concatenate(train, valid)
+
+    config = TrainConfig(
+        filters=filters, num_res_units=2, transform_degree=2,
+        batch_size=min(batch, len(full)), loss_fx=("Focal", "Dice"),
+        exclude_missing=True, epochs=epochs, compute_dtype="bfloat16",
+        input_size=input_size,
+    )
+    trainer = Trainer(config)
+    state = trainer.init_state()
+    pipe = DevicePipeline2D(full, config.batch_size)
+
+    t0 = time.time()
+    state = trainer.fit(state, pipe, None, epochs=epochs)
+    train_s = time.time() - t0
+
+    result = evaluate_2d(trainer, state.params, test)
+    return {
+        "what": (
+            "Model L end-to-end on the reference's exact final recipe "
+            "(train+valid full data, Focal+Dice, exclude_missing, degree-2 "
+            "on-device aug, bf16), then FULL-test-split evaluation"
+        ),
+        "epochs": epochs,
+        "seconds_per_epoch": round(train_s / epochs, 3),
+        "total_train_seconds": round(train_s, 1),
+        "num_test_slices_evaluated": result["num_slices"],
+        "num_test_slices_in_split": len(test),
+        "test_mean_dice": result["mean_dice"],
+        "test_per_structure_dice": result["per_structure_dice"],
+    }, (trainer, state, test)
+
+
+def model_m_demo(ws: Path, epochs: int, filters, batch: int, input_size: int):
+    """Model M facets: weighted mixup + Boundary loss (on-device EDT)."""
+    import jax
+
+    from ctseg_tpu.data.datasets import PackedDataset2D
+    from ctseg_tpu.data.pipeline import DevicePipeline2D
+    from ctseg_tpu.inference.evaluate import evaluate_2d
+    from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+    train = PackedDataset2D.load(ws / "miccai_2d" / "train_packed.npz")
+    valid = PackedDataset2D.load(ws / "miccai_2d" / "valid_packed.npz")
+    config = TrainConfig(
+        filters=filters, num_res_units=1, transform_degree=2,
+        batch_size=min(batch, len(train)),
+        loss_fx=("Focal", "Dice", "Boundary"), exclude_missing=True,
+        mixup=True, epochs=epochs, compute_dtype="bfloat16",
+        input_size=input_size,
+    )
+    trainer = Trainer(config)
+    state = trainer.init_state()
+    state = trainer.fit(
+        state, DevicePipeline2D(train, config.batch_size), None, epochs=epochs
+    )
+    result = evaluate_2d(trainer, state.params, valid)
+    return {
+        "what": (
+            "Model M facets: weighted mixup + Boundary loss with exact "
+            "on-device EDT distance maps, short demonstration run"
+        ),
+        "epochs": epochs,
+        "valid_mean_dice": result["mean_dice"],
+    }
+
+
+def volumetric_demo(ws: Path, epochs: int, patch, filters):
+    from ctseg_tpu.data.datasets import PackedDataset3D
+    from ctseg_tpu.inference.evaluate import evaluate_3d_sliding_window
+    from ctseg_tpu.training.trainer import TrainConfig
+    from ctseg_tpu.volumetric.pipeline3d import PatchPipeline3D
+    from ctseg_tpu.volumetric.trainer3d import make_trainer_3d
+
+    train = PackedDataset3D.load(ws / "miccai_3d" / "train_packed.npz")
+    test = PackedDataset3D.load(ws / "miccai_3d" / "test_packed.npz")
+
+    config = TrainConfig(
+        filters=filters, num_res_units=2, transform_degree=0,
+        batch_size=2, loss_fx=("CrossEntropy", "Dice"), spatial_dims=3,
+        input_shape=(patch[0], patch[1], patch[2]), in_channels=1,
+        epochs=epochs, compute_dtype="bfloat16", volumetric_mode="patch",
+    )
+    trainer = make_trainer_3d(config, mode="patch", patch_size=patch)
+    state = trainer.init_state()
+    pipe = PatchPipeline3D(train, config.batch_size, patch_size=patch)
+    state = trainer.fit(state, pipe, None, epochs=epochs)
+
+    result = evaluate_3d_sliding_window(
+        trainer, state.params, test, patch_size=patch, overlap=0.5,
+        with_hd95=True,
+    )
+    # Steady-state (post-compile) whole-volume throughput.
+    t0 = time.time()
+    r2 = evaluate_3d_sliding_window(
+        trainer, state.params, test, patch_size=patch, overlap=0.5,
+        with_hd95=False,
+    )
+    steady = r2["vols_per_min"]
+    return {
+        "what": (
+            "3D north-star path: native-resolution patch training "
+            "(PatchPipeline3D) + whole-volume sliding-window inference with "
+            "Gaussian blending + HD95"
+        ),
+        "epochs": epochs,
+        "test_mean_dice": result["mean_dice"],
+        "per_structure_hd95": result.get("per_structure_hd95"),
+        "vols_per_min_including_compile": result["vols_per_min"],
+        "steady_state_vols_per_min": steady,
+        "num_volumes": result["num_volumes"],
+    }
+
+
+def gradcam_demo(trainer, state, test, n_slices: int = 8):
+    import jax
+    import jax.numpy as jnp
+
+    from ctseg_tpu.interpret.gradcam import gradcam_all_structures
+    from ctseg_tpu.models import SegmentationModel
+    from ctseg_tpu.transforms.pipelines import batched_transform
+
+    model = SegmentationModel(
+        out_channels=10, channels=trainer.model.channels,
+        num_res_units=trainer.model.num_res_units,
+        dtype=jnp.float32, capture_features=True,
+    )
+    images = jnp.asarray(test.images[:n_slices], jnp.float32)
+    labels = jnp.asarray(test.labels[:n_slices], jnp.int32)
+    img_t, _ = batched_transform(
+        trainer.test_transform, jax.random.key(0), images, labels
+    )
+    t0 = time.time()
+    cams = gradcam_all_structures(model, state.params, img_t)
+    cams.block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    cams = gradcam_all_structures(model, state.params, img_t)
+    cams.block_until_ready()
+    steady_s = time.time() - t0
+    return {
+        "what": "batched GradCAM: all 9 structure CAMs in one jitted call",
+        "batch": n_slices,
+        "cam_shape": list(cams.shape),
+        "seconds_including_compile": round(compile_s, 2),
+        "seconds_steady_state": round(steady_s, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true", help="smoke run")
+    ap.add_argument("--out", default="EVIDENCE_r2.json")
+    ap.add_argument(
+        "--workspace", default=None,
+        help="persistent workspace dir (cached across runs); default tmp",
+    )
+    args = ap.parse_args()
+
+    if args.fast:
+        shape, epochs_l, epochs_m, epochs_3d = (24, 96, 96), 2, 1, 1
+        filters = (8, 16, 32, 64, 128)
+        batch, patch, input_size = 16, (32, 32, 16), 64
+    else:
+        shape, epochs_l, epochs_m, epochs_3d = (40, 512, 512), 200, 30, 30
+        filters = (64, 128, 256, 512, 1024)
+        batch, patch, input_size = 128, (128, 128, 16), 256
+
+    import jax
+
+    evidence = {
+        "what": (
+            "Round-2 evidence: full demonstration suite on "
+            f"{jax.devices()[0].platform} "
+            "(synthetic PDDCA-layout data; real data needs network access "
+            "unavailable here)"
+        ),
+        "fast_mode": args.fast,
+    }
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext(args.workspace)
+        if args.workspace
+        else tempfile.TemporaryDirectory()
+    )
+    with ctx as tmp:
+        Path(tmp).mkdir(parents=True, exist_ok=True)
+        ws = build_workspace(Path(tmp), shape=shape)
+        print("stage: model L", flush=True)
+        evidence["model_l_200epoch_full_recipe"], handle = model_l_full_recipe(
+            ws, epochs_l, filters, batch, input_size
+        )
+        print(json.dumps(evidence["model_l_200epoch_full_recipe"], indent=1))
+        print("stage: model M", flush=True)
+        evidence["model_m_mixup_boundary"] = model_m_demo(
+            ws, epochs_m, filters, batch, input_size
+        )
+        print(json.dumps(evidence["model_m_mixup_boundary"], indent=1))
+        print("stage: 3D", flush=True)
+        evidence["volumetric_3d"] = volumetric_demo(
+            ws, epochs_3d, patch, filters
+        )
+        print(json.dumps(evidence["volumetric_3d"], indent=1))
+        trainer, state, test = handle
+        evidence["gradcam"] = gradcam_demo(trainer, state, test)
+        print(json.dumps(evidence["gradcam"], indent=1))
+
+    if not args.fast:
+        with open(args.out, "w") as f:
+            json.dump(evidence, f, indent=1)
+        print("written:", args.out)
+    else:
+        print("fast mode: not writing", args.out)
+
+
+if __name__ == "__main__":
+    main()
