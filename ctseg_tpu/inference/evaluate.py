@@ -84,8 +84,10 @@ def evaluate_2d(
                 (images_raw, labels_raw, row_valid), batch_sharding
             )
         dice, valid, preds, labels = step(params, images_raw, labels_raw, row_valid)
-        all_dice.append(np.asarray(dice))
-        all_valid.append(np.asarray(valid))
+        # Device-resident accumulation: per-batch np.asarray would force a
+        # host sync each batch and serialize dispatch against compute.
+        all_dice.append(dice)
+        all_valid.append(valid)
         row_valid_h = np.asarray(row_valid)
         n_slices += int(row_valid_h.sum())
         if with_hd95:
@@ -96,10 +98,10 @@ def evaluate_2d(
                     hd_rows.append(
                         hd95_per_structure(preds_h[i], labels_h[i], NUM_CLASSES)
                     )
+    dice = jnp.concatenate(all_dice)
+    valid = jnp.concatenate(all_valid)
+    float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)
     elapsed = time.time() - t0
-
-    dice = jnp.asarray(np.concatenate(all_dice))
-    valid = jnp.asarray(np.concatenate(all_valid))
     per_class, not_nans = masked_mean_batch(dice, valid)
     per_class = np.asarray(per_class)
 
@@ -120,6 +122,62 @@ def evaluate_2d(
             for s, v in zip(STRUCTURES, hd_mean)
         }
     return result
+
+
+def sliding_window_throughput(
+    trainer: Trainer,
+    params,
+    dataset,
+    patch_size=(128, 128, 48),
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    reps: int = 3,
+) -> Dict:
+    """Steady-state whole-volume inference throughput, device-resident.
+
+    Stages every volume in HBM once, then times repeated sliding-window
+    forward passes (Gaussian blending included, metrics excluded). This is
+    the hardware's serving capability; `evaluate_3d_sliding_window`'s
+    vols_per_min additionally pays the host->device copy of each volume,
+    which on this container's tunneled TPU costs more than the compute
+    itself (a local TPU host moves volumes at PCIe rates instead).
+    """
+    from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
+    from ctseg_tpu.transforms.windowing import apply_window
+
+    d, h, w = dataset.images[0].shape
+    hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
+    runner = build_sliding_window_fn(
+        trainer.model.apply, hp, patch_size, overlap=overlap,
+        batch_size=batch_size, out_channels=NUM_CLASSES,
+    )
+
+    @jax.jit
+    def infer(params, img):
+        vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
+        vol = apply_window(vol, 350, 20, shift=True)
+        pads = [
+            (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
+        ] + [(0, 0)]
+        logits = runner(params, jnp.pad(vol, pads))[:h, :w, :d]
+        return squash_predictions(logits)
+
+    vols = [jnp.asarray(img) for img in dataset.images]
+    out = infer(params, vols[0])
+    float(out.ravel()[0].astype(jnp.float32))  # compile + stage sync
+    t0 = time.time()
+    for _ in range(reps):
+        for v in vols:
+            out = infer(params, v)
+    float(out.ravel()[0].astype(jnp.float32))
+    elapsed = time.time() - t0
+    n = reps * len(vols)
+    return {
+        "vols_per_min": n / max(elapsed / 60.0, 1e-9),
+        "ms_per_volume": elapsed / n * 1000.0,
+        "num_volumes": len(vols),
+        "reps": reps,
+    }
 
 
 def evaluate_3d_sliding_window(
@@ -144,52 +202,68 @@ def evaluate_3d_sliding_window(
     from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
     from ctseg_tpu.transforms.windowing import apply_window
 
-    # One compiled runner per distinct padded volume shape; params are a jit
-    # argument so all volumes of one shape share a single compilation.
-    runners = {}
+    # Volumes are evaluated in same-shape GROUPS, each group as a single
+    # jitted call that lax.map's the whole per-volume pipeline (layout
+    # change, windowing, padding, sliding-window forward, squash, Dice)
+    # over one stacked array. One host->device transfer and one dispatch
+    # per group: per-volume transfers + eager glue measured ~10x slower
+    # than the runner's own compute on the tunneled v5e
+    # (perf/probe_swin.py). Params are a jit argument, so every group of
+    # one shape shares a single compilation.
+    def make_group_fn(raw_shape):
+        d, h, w = raw_shape
+        hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
+        runner = build_sliding_window_fn(
+            trainer.model.apply,
+            hp,
+            patch_size,
+            overlap=overlap,
+            batch_size=batch_size,
+            out_channels=NUM_CLASSES,
+            mesh=mesh,
+        )
 
+        def one(params, img, lab):
+            # (D, H, W) -> (H, W, D, 1)
+            vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
+            if window:
+                vol = apply_window(vol, 350, 20, shift=True)
+            pads = [
+                (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
+            ] + [(0, 0)]
+            logits = runner(params, jnp.pad(vol, pads))[:h, :w, :d]
+            preds = squash_predictions(logits)
+            target = jnp.moveaxis(lab.astype(jnp.int32), 0, -1)
+            dice, valid = dice_per_sample_class(preds[None], target[None])
+            return dice[0], valid[0], preds, target
+
+        @jax.jit
+        def run(params, imgs, labs):
+            return jax.lax.map(lambda t: one(params, *t), (imgs, labs))
+
+        return run
+
+    groups = {}
+    for i, img in enumerate(dataset.images):
+        groups.setdefault(img.shape, []).append(i)
+
+    group_fns = {shape: make_group_fn(shape) for shape in groups}
     all_dice, all_valid, hd_rows = [], [], []
     t0 = time.time()
-    for img, lab in zip(dataset.images, dataset.labels):
-        # host (D, H, W) -> device (H, W, D, 1)
-        vol = jnp.moveaxis(jnp.asarray(img, jnp.float32), 0, -1)[..., None]
-        if window:
-            vol = apply_window(vol, 350, 20, shift=True)
-        target = jnp.moveaxis(jnp.asarray(lab, jnp.int32), 0, -1)
-
-        # Pad spatial dims up to the patch size if needed.
-        pads = [
-            (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
-        ] + [(0, 0)]
-        vol_p = jnp.pad(vol, pads)
-        shape_key = vol_p.shape[:3]
-        if shape_key not in runners:
-            runners[shape_key] = build_sliding_window_fn(
-                trainer.model.apply,
-                shape_key,
-                patch_size,
-                overlap=overlap,
-                batch_size=batch_size,
-                out_channels=NUM_CLASSES,
-                mesh=mesh,
-            )
-        logits = runners[shape_key](params, vol_p)
-        logits = logits[: vol.shape[0], : vol.shape[1], : vol.shape[2]]
-        preds = squash_predictions(logits)
-
-        dice, valid = dice_per_sample_class(preds[None], target[None])
-        all_dice.append(np.asarray(dice))
-        all_valid.append(np.asarray(valid))
+    for shape, idxs in groups.items():
+        imgs = np.stack([dataset.images[i] for i in idxs])
+        labs = np.stack([dataset.labels[i] for i in idxs])
+        dice, valid, preds, targets = group_fns[shape](params, imgs, labs)
+        all_dice.append(dice)
+        all_valid.append(valid)
         if with_hd95:
-            hd_rows.append(
-                hd95_per_structure(
-                    np.asarray(preds), np.asarray(target), NUM_CLASSES
-                )
-            )
+            preds_h, targets_h = np.asarray(preds), np.asarray(targets)
+            for p, t in zip(preds_h, targets_h):
+                hd_rows.append(hd95_per_structure(p, t, NUM_CLASSES))
+    dice = jnp.concatenate(all_dice)
+    valid = jnp.concatenate(all_valid)
+    float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)
     elapsed = time.time() - t0
-
-    dice = jnp.asarray(np.concatenate(all_dice))
-    valid = jnp.asarray(np.concatenate(all_valid))
     per_class, _ = masked_mean_batch(dice, valid)
     per_class = np.asarray(per_class)
     result = {

@@ -61,6 +61,27 @@ def test_evaluate_3d_sliding_window(rng):
     assert len(result["per_structure_hd95"]) == 9
 
 
+def test_sliding_window_throughput(rng):
+    from ctseg_tpu.inference.evaluate import sliding_window_throughput
+
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=1, transform_degree=0,
+        loss_fx=("CrossEntropy",), spatial_dims=3, input_shape=(16, 16, 16),
+        in_channels=1,
+    )
+    tr = make_trainer_3d(cfg, mode="patch", patch_size=(16, 16, 16))
+    state = tr.init_state()
+    ds = PackedDataset3D(
+        images=rng.normal(40, 200, size=(2, 10, 24, 24)).astype(np.float32),
+        labels=rng.integers(0, 10, size=(2, 10, 24, 24)).astype(np.uint8),
+        indicators=np.ones((2, 9), np.float32),
+    )
+    r = sliding_window_throughput(
+        tr, state.params, ds, patch_size=(16, 16, 16), reps=1
+    )
+    assert r["vols_per_min"] > 0 and r["num_volumes"] == 2
+
+
 def test_presets():
     from ctseg_tpu.models.presets import MODEL_3D, MODEL_L, MODEL_M, PRESETS
 
