@@ -61,6 +61,36 @@ def test_evaluate_3d_sliding_window(rng):
     assert len(result["per_structure_hd95"]) == 9
 
 
+def test_evaluate_3d_sliding_window_mesh_matches_single(rng):
+    """The grouped lax.map evaluation gives the same Dice with and without
+    a device mesh (windows sharded over 'data'; the --n_devices CLI path)."""
+    from ctseg_tpu.parallel import make_mesh
+
+    images = [rng.normal(40, 200, size=(18, 40, 40)).astype(np.float32)
+              for _ in range(2)]
+    labels = [rng.integers(0, 10, size=(18, 40, 40)).astype(np.uint8)
+              for _ in range(2)]
+    ds = PackedDataset3D(images, labels, [np.ones(9, np.float32)] * 2)
+
+    cfg = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=1, batch_size=2,
+        loss_fx=("CrossEntropy",), spatial_dims=3,
+        input_shape=(32, 32, 16), in_channels=1,
+    )
+    tr = make_trainer_3d(cfg, mode="patch")
+    state = tr.init_state()
+    kw = dict(patch_size=(32, 32, 16), batch_size=8)
+    r1 = evaluate_3d_sliding_window(tr, state.params, ds, **kw)
+    r8 = evaluate_3d_sliding_window(
+        tr, state.params, ds, mesh=make_mesh(8), **kw
+    )
+    np.testing.assert_allclose(
+        [r1["per_structure_dice"][s] for s in r1["per_structure_dice"]],
+        [r8["per_structure_dice"][s] for s in r8["per_structure_dice"]],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_sliding_window_throughput(rng):
     from ctseg_tpu.inference.evaluate import sliding_window_throughput
 
