@@ -24,6 +24,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctseg_tpu.constants import EXPERIMENT_SEED, NUM_CLASSES, STRUCTURES
@@ -359,8 +360,13 @@ class Trainer:
             count += 1
             for k, v in metrics.items():
                 sums[k] = v if k not in sums else sums[k] + v
+        # One stacked fetch: per-metric float() conversions each cost a full
+        # host round trip (~8 metrics x RTT per epoch on a remote chip).
+        names = list(sums)
+        fetched = np.asarray(jnp.stack([sums[k] for k in names])) if names else []
         means = {
-            f"train/{k}": float(v) / max(count, 1) for k, v in sums.items()
+            f"train/{k}": float(v) / max(count, 1)
+            for k, v in zip(names, fetched)
         }
         if logger is not None:
             logger.log(means, step=int(state.step))
@@ -381,8 +387,15 @@ class Trainer:
             for k, v in metrics.items():
                 w = v * n_valid
                 sums[k] = w if k not in sums else sums[k] + w
-        denom = max(float(total), 1.0)
-        means = {f"{prefix}/{k}": float(v) / denom for k, v in sums.items()}
+        # Single stacked fetch (see train_epoch).
+        names = list(sums)
+        stacked = jnp.stack([total] + [sums[k] for k in names])
+        fetched = np.asarray(stacked)
+        denom = max(float(fetched[0]), 1.0)
+        means = {
+            f"{prefix}/{k}": float(v) / denom
+            for k, v in zip(names, fetched[1:])
+        }
         if logger is not None:
             logger.log(means, step=step)
         return means
