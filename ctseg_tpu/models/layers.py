@@ -325,11 +325,16 @@ def polyphase_conv_transpose(
     Numerically equal (same taps, same products) to
     nn.ConvTranspose(kernel_size=k, strides=s, padding=[(k-1-p, k-p+s-2)])
     — the torch ConvTranspose(k, s, padding=p, output_padding=s-1)
-    convention with out = in * s — but with no input dilation: XLA lowers
-    dilated-input convolutions on TPU at ~35% MXU utilization (at stride 2,
-    3 of every 4 input taps are inserted zeros), while the per-phase
-    subkernels here are fully dense, with the exact original MAC count
+    convention with out = in * s — but with no input dilation: the per-phase
+    subkernels are fully dense with the exact original MAC count
     (sum of per-phase tap counts over all phases == k^ndim).
+
+    Measured verdict (perf/probe_transp.py, v5e bf16 fwd+bwd at every
+    Model L up site): XLA's dilated lowering wins or ties BOTH modes —
+    those sites are HBM-bound, so the dilated form's zero MACs are free
+    while the interleave here costs an extra full-output pass. Kept as a
+    checkpoint-compatible option for MAC-bound configurations; OFF by
+    default (ConvTransposeUnit.polyphase).
 
     kernel: (*k, Cin, Cout) in nn.ConvTranspose layout (no spatial flip).
     """
