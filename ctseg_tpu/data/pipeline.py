@@ -38,6 +38,35 @@ def padded_permutation(
     return perm, row_valid, num_batches
 
 
+def epoch_batches(images, labels, indicators, size, batch_size, key):
+    """Shared epoch generator: shuffled gathers, trailing partial dropped."""
+    perm = (
+        jax.random.permutation(key, size) if key is not None else jnp.arange(size)
+    )
+    for b in range(size // batch_size):
+        idx = jax.lax.dynamic_slice_in_dim(perm, b * batch_size, batch_size)
+        yield (
+            jnp.take(images, idx, axis=0),
+            jnp.take(labels, idx, axis=0),
+            jnp.take(indicators, idx, axis=0),
+        )
+
+
+def padded_epoch_batches(images, labels, indicators, size, batch_size, key):
+    """Shared full-coverage generator: every sample exactly once, trailing
+    batch padded with row_valid=False rows (index-0 padding)."""
+    perm, row_valid, num_batches = padded_permutation(size, batch_size, key)
+    for b in range(num_batches):
+        lo = b * batch_size
+        idx = jax.lax.dynamic_slice_in_dim(perm, lo, batch_size)
+        yield (
+            jnp.take(images, idx, axis=0),
+            jnp.take(labels, idx, axis=0),
+            jnp.take(indicators, idx, axis=0),
+            jax.lax.dynamic_slice_in_dim(row_valid, lo, batch_size),
+        )
+
+
 class DevicePipeline2D:
     """HBM-resident 2D slice pipeline yielding raw-HU batches.
 
@@ -73,17 +102,10 @@ class DevicePipeline2D:
         self, key: Optional[jax.Array] = None
     ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
         """Yield one epoch of batches; shuffled when a key is given."""
-        if key is not None:
-            perm = jax.random.permutation(key, self.size)
-        else:
-            perm = jnp.arange(self.size)
-        for b in range(self.num_batches()):
-            idx = jax.lax.dynamic_slice_in_dim(perm, b * self.batch_size, self.batch_size)
-            yield (
-                jnp.take(self.images, idx, axis=0),
-                jnp.take(self.labels, idx, axis=0),
-                jnp.take(self.indicators, idx, axis=0),
-            )
+        return epoch_batches(
+            self.images, self.labels, self.indicators,
+            self.size, self.batch_size, key,
+        )
 
     def padded_epoch(
         self, key: Optional[jax.Array] = None
@@ -91,15 +113,7 @@ class DevicePipeline2D:
         """Yield (image, label, indicator, row_valid) batches covering EVERY
         sample exactly once; the trailing batch is padded (row_valid=False
         rows) instead of dropped. For evaluation — never biases the split."""
-        perm, row_valid, num_batches = padded_permutation(
-            self.size, self.batch_size, key
+        return padded_epoch_batches(
+            self.images, self.labels, self.indicators,
+            self.size, self.batch_size, key,
         )
-        for b in range(num_batches):
-            lo = b * self.batch_size
-            idx = jax.lax.dynamic_slice_in_dim(perm, lo, self.batch_size)
-            yield (
-                jnp.take(self.images, idx, axis=0),
-                jnp.take(self.labels, idx, axis=0),
-                jnp.take(self.indicators, idx, axis=0),
-                jax.lax.dynamic_slice_in_dim(row_valid, lo, self.batch_size),
-            )

@@ -145,30 +145,40 @@ def sliding_window_throughput(
     from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
     from ctseg_tpu.transforms.windowing import apply_window
 
-    d, h, w = dataset.images[0].shape
-    hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
-    runner = build_sliding_window_fn(
-        trainer.model.apply, hp, patch_size, overlap=overlap,
-        batch_size=batch_size, out_channels=NUM_CLASSES,
-    )
+    # One runner per raw volume shape (real PDDCA depths vary per patient).
+    def make_infer(raw_shape):
+        d, h, w = raw_shape
+        hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
+        runner = build_sliding_window_fn(
+            trainer.model.apply, hp, patch_size, overlap=overlap,
+            batch_size=batch_size, out_channels=NUM_CLASSES,
+        )
 
-    @jax.jit
-    def infer(params, img):
-        vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
-        vol = apply_window(vol, 350, 20, shift=True)
-        pads = [
-            (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
-        ] + [(0, 0)]
-        logits = runner(params, jnp.pad(vol, pads))[:h, :w, :d]
-        return squash_predictions(logits)
+        @jax.jit
+        def infer(params, img):
+            vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
+            vol = apply_window(vol, 350, 20, shift=True)
+            pads = [
+                (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
+            ] + [(0, 0)]
+            logits = runner(params, jnp.pad(vol, pads))[:h, :w, :d]
+            return squash_predictions(logits)
 
-    vols = [jnp.asarray(img) for img in dataset.images]
-    out = infer(params, vols[0])
-    float(out.ravel()[0].astype(jnp.float32))  # compile + stage sync
+        return infer
+
+    infer_fns = {}
+    vols = []
+    for img in dataset.images:
+        if img.shape not in infer_fns:
+            infer_fns[img.shape] = make_infer(img.shape)
+        vols.append(jnp.asarray(img))
+    for v in vols:  # compile every shape + stage sync
+        out = infer_fns[v.shape](params, v)
+    float(out.ravel()[0].astype(jnp.float32))
     t0 = time.time()
     for _ in range(reps):
         for v in vols:
-            out = infer(params, v)
+            out = infer_fns[v.shape](params, v)
     float(out.ravel()[0].astype(jnp.float32))
     elapsed = time.time() - t0
     n = reps * len(vols)
@@ -235,7 +245,11 @@ def evaluate_3d_sliding_window(
             preds = squash_predictions(logits)
             target = jnp.moveaxis(lab.astype(jnp.int32), 0, -1)
             dice, valid = dice_per_sample_class(preds[None], target[None])
-            return dice[0], valid[0], preds, target
+            if with_hd95:
+                return dice[0], valid[0], preds, target
+            # Don't materialize group-sized predictions nobody reads
+            # (volume-sized int32 per volume).
+            return dice[0], valid[0]
 
         @jax.jit
         def run(params, imgs, labs):
@@ -253,11 +267,12 @@ def evaluate_3d_sliding_window(
     for shape, idxs in groups.items():
         imgs = np.stack([dataset.images[i] for i in idxs])
         labs = np.stack([dataset.labels[i] for i in idxs])
-        dice, valid, preds, targets = group_fns[shape](params, imgs, labs)
+        out = group_fns[shape](params, imgs, labs)
+        dice, valid = out[0], out[1]
         all_dice.append(dice)
         all_valid.append(valid)
         if with_hd95:
-            preds_h, targets_h = np.asarray(preds), np.asarray(targets)
+            preds_h, targets_h = np.asarray(out[2]), np.asarray(out[3])
             for p, t in zip(preds_h, targets_h):
                 hd_rows.append(hd95_per_structure(p, t, NUM_CLASSES))
     dice = jnp.concatenate(all_dice)

@@ -61,16 +61,17 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 def instance_norm_prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """InstanceNorm (no affine, eps 1e-5) + shared-slope PReLU, one unit.
 
-    Identical math to instance_norm followed by PReLU, but with a custom
-    VJP whose only large residual is the OUTPUT itself: PReLU is invertible
-    (xhat = y where y >= 0 else y / alpha), so the backward reconstructs the
-    normalized activation from y instead of re-reading and re-normalizing x.
-    This removes every backward-pass read of x (the converted f32 stats
-    chain was ~30% of train-step device time before; measured in
-    perf/profile_step.py traces).
+    Identical math to instance_norm followed by PReLU, with a custom VJP:
+    one-pass f32 statistics in the forward, and an analytic backward whose
+    large residual is the NORMALIZED activation xhat (stored in x's dtype)
+    rather than x itself — the backward never re-reads or re-normalizes x.
 
-    Caveat: reconstruction divides by alpha, so alpha must stay away from 0
-    (it is a learned scalar, init 0.25; the reference never decays it).
+    xhat (not the output y) is the residual deliberately: reconstructing
+    xhat from y via the PReLU inverse (y/alpha on the negative branch) is
+    only valid for alpha > 0, and nothing constrains the learned slope —
+    a negative or zero alpha would silently corrupt dx/dalpha. Storing
+    xhat keeps the gradient exact for every alpha (differential-tested at
+    alpha in {0.25, 0.8, 0.03, -0.1, 0.0}).
     """
     out, _ = _in_prelu_fwd(x, alpha)
     return out
@@ -86,22 +87,18 @@ def _in_prelu_fwd(x, alpha):
     xhat = (x32 - mean) * rstd
     a = alpha.reshape(()).astype(xhat.dtype)
     y = jnp.where(xhat >= 0, xhat, a * xhat).astype(x.dtype)
-    return y, (y, rstd, alpha)
+    return y, (xhat.astype(x.dtype), rstd, alpha)
 
 
 def _in_prelu_bwd(res, dy):
-    y, rstd, alpha = res
-    in_dtype = y.dtype  # y was cast to x's dtype in the forward
-    axes = tuple(range(1, y.ndim - 1))
-    n = 1.0
-    for ax in axes:
-        n *= y.shape[ax]
-    ctype = jnp.promote_types(y.dtype, jnp.float32)  # f32 stats under bf16
+    xhat_s, rstd, alpha = res
+    in_dtype = xhat_s.dtype  # stored in x's dtype in the forward
+    axes = tuple(range(1, xhat_s.ndim - 1))
+    ctype = jnp.promote_types(in_dtype, jnp.float32)  # f32 stats under bf16
     a = alpha.reshape(()).astype(ctype)
-    y32 = y.astype(ctype)
+    xhat = xhat_s.astype(ctype)
     dy32 = dy.astype(ctype)
-    pos = y32 >= 0
-    xhat = jnp.where(pos, y32, y32 / a)
+    pos = xhat >= 0
     dxhat = jnp.where(pos, dy32, a * dy32)
     dalpha = jnp.sum(jnp.where(pos, 0.0, dy32 * xhat))
     # d instance_norm: dx = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat*xhat))
@@ -228,6 +225,10 @@ class ConvUnit(nn.Module):
                 fused_conv3x3_in_prelu,
             )
 
+            # Cast to the unit's compute dtype FIRST (the nn.Conv branch
+            # does this internally): feasibility and kernels must match
+            # between train (pre-cast bf16) and eval (f32 inputs) paths.
+            x = x.astype(self.dtype)
             if conv_fusion_supported(
                 x.shape, self.features, x.dtype,
                 stride=self.stride, kernel_size=self.kernel_size,

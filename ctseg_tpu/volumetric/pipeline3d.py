@@ -66,38 +66,22 @@ class DevicePipeline3D:
         return self.size // self.batch_size
 
     def epoch(self, key: Optional[jax.Array] = None) -> Iterator:
-        perm = (
-            jax.random.permutation(key, self.size)
-            if key is not None
-            else jnp.arange(self.size)
+        from ctseg_tpu.data.pipeline import epoch_batches
+
+        return epoch_batches(
+            self.images, self.labels, self.indicators,
+            self.size, self.batch_size, key,
         )
-        for b in range(self.num_batches()):
-            idx = jax.lax.dynamic_slice_in_dim(
-                perm, b * self.batch_size, self.batch_size
-            )
-            yield (
-                jnp.take(self.images, idx, axis=0),
-                jnp.take(self.labels, idx, axis=0),
-                jnp.take(self.indicators, idx, axis=0),
-            )
 
     def padded_epoch(self, key: Optional[jax.Array] = None) -> Iterator:
         """Full-coverage evaluation epoch: the trailing partial batch is
         padded with masked rows instead of dropped (see DevicePipeline2D)."""
-        from ctseg_tpu.data.pipeline import padded_permutation
+        from ctseg_tpu.data.pipeline import padded_epoch_batches
 
-        perm, row_valid, num_batches = padded_permutation(
-            self.size, self.batch_size, key
+        return padded_epoch_batches(
+            self.images, self.labels, self.indicators,
+            self.size, self.batch_size, key,
         )
-        for b in range(num_batches):
-            lo = b * self.batch_size
-            idx = jax.lax.dynamic_slice_in_dim(perm, lo, self.batch_size)
-            yield (
-                jnp.take(self.images, idx, axis=0),
-                jnp.take(self.labels, idx, axis=0),
-                jnp.take(self.indicators, idx, axis=0),
-                jax.lax.dynamic_slice_in_dim(row_valid, lo, self.batch_size),
-            )
 
 
 class PatchPipeline3D:

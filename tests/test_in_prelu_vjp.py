@@ -35,7 +35,7 @@ def test_value_matches_composed(rng, shape):
     )
 
 
-@pytest.mark.parametrize("alpha0", [0.25, 0.8, 0.03])
+@pytest.mark.parametrize("alpha0", [0.25, 0.8, 0.03, -0.1, 0.0])
 def test_grads_match_autodiff(rng, alpha0):
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)))
     alpha = jnp.asarray([alpha0])
