@@ -104,8 +104,11 @@ def model_l_full_recipe(ws: Path, epochs: int, filters, batch: int, input_size: 
 
 
 def model_m_demo(ws: Path, epochs: int, filters, batch: int, input_size: int):
-    """Model M facets: weighted mixup + Boundary loss (on-device EDT)."""
-    import jax
+    """Model M on the reference's full mixup recipe: weighted mixup +
+    Focal+Dice+Boundary (exact on-device EDT), num_res_units=1, train+valid
+    full data, then FULL-test-split evaluation
+    (capstone/training/mixup_trainer.py:131-190)."""
+    import time as _time
 
     from ctseg_tpu.data.datasets import PackedDataset2D
     from ctseg_tpu.data.pipeline import DevicePipeline2D
@@ -114,26 +117,35 @@ def model_m_demo(ws: Path, epochs: int, filters, batch: int, input_size: int):
 
     train = PackedDataset2D.load(ws / "miccai_2d" / "train_packed.npz")
     valid = PackedDataset2D.load(ws / "miccai_2d" / "valid_packed.npz")
+    test = PackedDataset2D.load(ws / "miccai_2d" / "test_packed.npz")
+    full = PackedDataset2D.concatenate(train, valid)
     config = TrainConfig(
         filters=filters, num_res_units=1, transform_degree=2,
-        batch_size=min(batch, len(train)),
+        batch_size=min(batch, len(full)),
         loss_fx=("Focal", "Dice", "Boundary"), exclude_missing=True,
         mixup=True, epochs=epochs, compute_dtype="bfloat16",
         input_size=input_size,
     )
     trainer = Trainer(config)
     state = trainer.init_state()
+    t0 = _time.time()
     state = trainer.fit(
-        state, DevicePipeline2D(train, config.batch_size), None, epochs=epochs
+        state, DevicePipeline2D(full, config.batch_size), None, epochs=epochs
     )
-    result = evaluate_2d(trainer, state.params, valid)
+    train_s = _time.time() - t0
+    result = evaluate_2d(trainer, state.params, test)
     return {
         "what": (
-            "Model M facets: weighted mixup + Boundary loss with exact "
-            "on-device EDT distance maps, short demonstration run"
+            "Model M on the reference's exact mixup recipe (train+valid "
+            "full data, weighted mixup, Focal+Dice+Boundary with exact "
+            "on-device EDT distance maps, num_res_units=1), then FULL-"
+            "test-split evaluation"
         ),
         "epochs": epochs,
-        "valid_mean_dice": result["mean_dice"],
+        "seconds_per_epoch": round(train_s / epochs, 3),
+        "num_test_slices_evaluated": result["num_slices"],
+        "test_mean_dice": result["mean_dice"],
+        "test_per_structure_dice": result["per_structure_dice"],
     }
 
 
@@ -235,7 +247,7 @@ def main():
         filters = (8, 16, 32, 64, 128)
         batch, patch, input_size = 16, (32, 32, 16), 64
     else:
-        shape, epochs_l, epochs_m, epochs_3d = (40, 512, 512), 200, 30, 30
+        shape, epochs_l, epochs_m, epochs_3d = (40, 512, 512), 200, 200, 30
         filters = (64, 128, 256, 512, 1024)
         batch, patch, input_size = 128, (128, 128, 16), 256
 
