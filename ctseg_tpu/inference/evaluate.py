@@ -21,14 +21,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ctseg_tpu.constants import NUM_CLASSES, STRUCTURES
-from ctseg_tpu.data.datasets import PackedDataset2D
+from ctseg_tpu.data.datasets import PackedDataset2D, PackedDataset3D
 from ctseg_tpu.data.pipeline import DevicePipeline2D
 from ctseg_tpu.metrics import dice_per_sample_class, masked_mean_batch
-from ctseg_tpu.metrics.hd95 import hd95_per_structure
+from ctseg_tpu.metrics.hd95 import hd95_per_structure_device
 from ctseg_tpu.ops import squash_predictions
 from ctseg_tpu.paths import DEFAULT_DATA_STORAGE
 from ctseg_tpu.training.trainer import Trainer
 from ctseg_tpu.transforms.pipelines import batched_transform
+
+# Volumes per jitted group call: bounds HBM use (a uniform-shape dataset
+# would otherwise stack arbitrarily many volumes into one device array) and
+# gives the double-buffered staging a unit of overlap.
+GROUP_CHUNK = 8
 
 
 def evaluate_2d(
@@ -49,6 +54,8 @@ def evaluate_2d(
     padded rows masked out of the Dice `valid` channel (the reference's
     DataLoaders never drop samples, capstone/data/data_module.py:46-71).
     """
+    if len(dataset) == 0:
+        raise ValueError("evaluate_2d: empty dataset")
     batch_size = batch_size or min(64, len(dataset))
     batch_size = min(batch_size, len(dataset))
     batch_sharding = None
@@ -72,7 +79,16 @@ def evaluate_2d(
         preds = squash_predictions(logits)
         dice, valid = dice_per_sample_class(preds, labels)
         valid = jnp.logical_and(valid, row_valid[:, None])
-        return dice, valid, preds, labels
+        if with_hd95:
+            # Device HD95 (metrics/hd95.py): padded rows -> nan, and nan
+            # rows are dropped by the nan-aware host aggregation below.
+            hd = jax.vmap(
+                lambda p, t, v: jnp.where(
+                    v, hd95_per_structure_device(p, t, NUM_CLASSES), jnp.nan
+                )
+            )(preds, labels, row_valid)
+            return dice, valid, hd
+        return dice, valid, jnp.zeros((preds.shape[0], NUM_CLASSES - 1))
 
     all_dice, all_valid = [], []
     hd_rows = []
@@ -83,21 +99,14 @@ def evaluate_2d(
             images_raw, labels_raw, row_valid = jax.device_put(
                 (images_raw, labels_raw, row_valid), batch_sharding
             )
-        dice, valid, preds, labels = step(params, images_raw, labels_raw, row_valid)
+        dice, valid, hd = step(params, images_raw, labels_raw, row_valid)
         # Device-resident accumulation: per-batch np.asarray would force a
         # host sync each batch and serialize dispatch against compute.
         all_dice.append(dice)
         all_valid.append(valid)
-        row_valid_h = np.asarray(row_valid)
-        n_slices += int(row_valid_h.sum())
+        n_slices += int(np.asarray(row_valid).sum())
         if with_hd95:
-            preds_h = np.asarray(preds)
-            labels_h = np.asarray(labels)
-            for i in range(preds_h.shape[0]):
-                if row_valid_h[i]:
-                    hd_rows.append(
-                        hd95_per_structure(preds_h[i], labels_h[i], NUM_CLASSES)
-                    )
+            hd_rows.append(hd)
     dice = jnp.concatenate(all_dice)
     valid = jnp.concatenate(all_valid)
     float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)
@@ -114,7 +123,7 @@ def evaluate_2d(
         "num_slices": n_slices,
     }
     if with_hd95:
-        hd = np.stack(hd_rows)  # (N, 9) with nans
+        hd = np.asarray(jnp.concatenate(hd_rows))  # (N, 9) with nans
         with np.errstate(invalid="ignore"):
             hd_mean = np.nanmean(hd, axis=0)
         result["per_structure_hd95"] = {
@@ -144,6 +153,9 @@ def sliding_window_throughput(
     """
     from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
     from ctseg_tpu.transforms.windowing import apply_window
+
+    if len(dataset.images) == 0:
+        raise ValueError("sliding_window_throughput: empty dataset")
 
     # One runner per raw volume shape (real PDDCA depths vary per patient).
     def make_infer(raw_shape):
@@ -212,14 +224,20 @@ def evaluate_3d_sliding_window(
     from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
     from ctseg_tpu.transforms.windowing import apply_window
 
-    # Volumes are evaluated in same-shape GROUPS, each group as a single
-    # jitted call that lax.map's the whole per-volume pipeline (layout
-    # change, windowing, padding, sliding-window forward, squash, Dice)
-    # over one stacked array. One host->device transfer and one dispatch
-    # per group: per-volume transfers + eager glue measured ~10x slower
-    # than the runner's own compute on the tunneled v5e
-    # (perf/probe_swin.py). Params are a jit argument, so every group of
-    # one shape shares a single compilation.
+    if len(dataset.images) == 0:
+        raise ValueError("evaluate_3d_sliding_window: empty dataset")
+
+    # Volumes are evaluated in same-shape GROUPS of at most GROUP_CHUNK,
+    # each chunk as a single jitted call that lax.map's the whole
+    # per-volume pipeline (layout change, windowing, padding,
+    # sliding-window forward, squash, Dice [+ device HD95]) over one
+    # stacked array. One host->device transfer and one dispatch per chunk:
+    # per-volume transfers + eager glue measured ~10x slower than the
+    # runner's own compute on the tunneled v5e (perf/probe_swin.py).
+    # Params are a jit argument, so chunks of one (shape, size) share a
+    # single compilation; the chunk bound caps HBM for uniform-shape
+    # datasets, and chunks are double-buffered: the next chunk's
+    # host->device upload is issued while the current chunk computes.
     def make_group_fn(raw_shape):
         d, h, w = raw_shape
         hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
@@ -246,9 +264,10 @@ def evaluate_3d_sliding_window(
             target = jnp.moveaxis(lab.astype(jnp.int32), 0, -1)
             dice, valid = dice_per_sample_class(preds[None], target[None])
             if with_hd95:
-                return dice[0], valid[0], preds, target
-            # Don't materialize group-sized predictions nobody reads
-            # (volume-sized int32 per volume).
+                # HD95 on device: never materializes volume-sized
+                # predictions outside the jit (metrics/hd95.py).
+                hd = hd95_per_structure_device(preds, target, NUM_CLASSES)
+                return dice[0], valid[0], hd
             return dice[0], valid[0]
 
         @jax.jit
@@ -257,24 +276,38 @@ def evaluate_3d_sliding_window(
 
         return run
 
-    groups = {}
+    groups: Dict = {}
     for i, img in enumerate(dataset.images):
         groups.setdefault(img.shape, []).append(i)
-
     group_fns = {shape: make_group_fn(shape) for shape in groups}
-    all_dice, all_valid, hd_rows = [], [], []
-    t0 = time.time()
-    for shape, idxs in groups.items():
+
+    # Work items: (shape, chunk of <= GROUP_CHUNK volume indices).
+    items = [
+        (shape, idxs[lo : lo + GROUP_CHUNK])
+        for shape, idxs in groups.items()
+        for lo in range(0, len(idxs), GROUP_CHUNK)
+    ]
+
+    def stage(item):
+        """Host-stack one chunk and start its async host->device upload."""
+        shape, idxs = item
         imgs = np.stack([dataset.images[i] for i in idxs])
         labs = np.stack([dataset.labels[i] for i in idxs])
-        out = group_fns[shape](params, imgs, labs)
-        dice, valid = out[0], out[1]
-        all_dice.append(dice)
-        all_valid.append(valid)
+        return shape, jax.device_put(imgs), jax.device_put(labs)
+
+    all_dice, all_valid, hd_rows = [], [], []
+    t0 = time.time()
+    staged = stage(items[0])
+    for k in range(len(items)):
+        shape, imgs, labs = staged
+        out = group_fns[shape](params, imgs, labs)  # async dispatch
+        if k + 1 < len(items):
+            # Double-buffer: upload the next chunk while this one computes.
+            staged = stage(items[k + 1])
+        all_dice.append(out[0])
+        all_valid.append(out[1])
         if with_hd95:
-            preds_h, targets_h = np.asarray(out[2]), np.asarray(out[3])
-            for p, t in zip(preds_h, targets_h):
-                hd_rows.append(hd95_per_structure(p, t, NUM_CLASSES))
+            hd_rows.append(out[2])
     dice = jnp.concatenate(all_dice)
     valid = jnp.concatenate(all_valid)
     float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)
@@ -290,7 +323,7 @@ def evaluate_3d_sliding_window(
         "num_volumes": len(dataset.images),
     }
     if with_hd95:
-        hd = np.stack(hd_rows)
+        hd = np.asarray(jnp.concatenate(hd_rows))  # (N, 9) with nans
         with np.errstate(invalid="ignore"):
             hd_mean = np.nanmean(hd, axis=0)
         result["per_structure_hd95"] = {
@@ -313,8 +346,13 @@ def format_table(result: Dict) -> str:
     return "\n".join(lines)
 
 
-def main():
-    parser = ArgumentParser()
+def main(argv=None):
+    parser = ArgumentParser(
+        description="Evaluate a checkpoint on a packed split: per-structure "
+        "Dice (+HD95). 2D slice checkpoints run the slice pipeline; 3D "
+        "checkpoints run whole-volume sliding-window evaluation (auto-"
+        "detected from the checkpoint's embedded hparams, like predict.py)."
+    )
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--data_dir", type=str, default=None)
     parser.add_argument("--split", type=str, default="test")
@@ -328,7 +366,18 @@ def main():
         help="Evaluate data-parallel over an n-device mesh (defaults to all "
         "devices when >1 are visible; 1 disables the mesh).",
     )
-    args = parser.parse_args()
+    parser.add_argument(
+        "--patch_size", type=int, nargs=3, default=(128, 128, 48),
+        help="3D checkpoints: sliding-window patch size",
+    )
+    parser.add_argument("--overlap", type=float, default=0.5,
+                        help="3D checkpoints: sliding-window overlap")
+    parser.add_argument(
+        "--throughput", action="store_true", default=False,
+        help="3D checkpoints: also report steady-state device-resident "
+        "vols/min (volumes staged in HBM once, metrics excluded)",
+    )
+    args = parser.parse_args(argv)
 
     n_dev = args.n_devices or len(jax.devices())
     mesh = None
@@ -338,14 +387,41 @@ def main():
         mesh = make_mesh(n_dev)
 
     trainer, state = Trainer.restore(args.checkpoint, mesh=mesh)
-    data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
-    dataset = PackedDataset2D.load(data_dir / f"{args.split}_packed.npz")
 
-    result = evaluate_2d(
-        trainer, state.params, dataset,
-        batch_size=args.batch_size, with_hd95=args.hd95, mesh=mesh,
-    )
+    if trainer.config.spatial_dims == 3:
+        data_dir = Path(
+            args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_3d")
+        )
+        dataset = PackedDataset3D.load(data_dir / f"{args.split}_packed.npz")
+        patch = tuple(args.patch_size)
+        result = evaluate_3d_sliding_window(
+            trainer, state.params, dataset,
+            patch_size=patch, overlap=args.overlap,
+            window=trainer.config.volumetric_mode == "patch",
+            with_hd95=args.hd95, mesh=mesh,
+        )
+        if args.throughput:
+            result["throughput"] = sliding_window_throughput(
+                trainer, state.params, dataset,
+                patch_size=patch, overlap=args.overlap,
+            )
+    else:
+        data_dir = Path(
+            args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d")
+        )
+        dataset = PackedDataset2D.load(data_dir / f"{args.split}_packed.npz")
+        result = evaluate_2d(
+            trainer, state.params, dataset,
+            batch_size=args.batch_size, with_hd95=args.hd95, mesh=mesh,
+        )
     print(format_table(result))
+    if "vols_per_min" in result:
+        print(f"vols/min (incl. transfers): {result['vols_per_min']:.2f}")
+    if "throughput" in result:
+        print(
+            "vols/min (steady-state, device-resident): "
+            f"{result['throughput']['vols_per_min']:.2f}"
+        )
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=2))
 

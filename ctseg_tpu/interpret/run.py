@@ -5,6 +5,12 @@ than 5 annotated structures (interpretability.py:76-78), and writes
 prediction/GT overlay panels plus per-structure GradCAM heatmaps to disk
 (PNG via matplotlib when available, .npy always). W&B upload stays optional.
 
+Unlike the reference's per-sample loop (one forward + 9 Captum backward
+passes per sample, interpretability.py:70-104), qualifying samples run in
+fixed-size BATCHES through one jitted forward + vmapped-VJP sweep
+(interpret/gradcam.py) — identical per-sample artifacts, ~batch_size x
+fewer dispatches.
+
 Usage:
     python -m ctseg_tpu.interpret.run --checkpoint CKPT [--data_dir DIR]
         [--out_dir DIR] [--max_samples 20] [--layer feat_down1]
@@ -23,6 +29,75 @@ from ctseg_tpu.interpret.gradcam import gradcam_all_structures
 from ctseg_tpu.ops import squash_predictions
 from ctseg_tpu.paths import DEFAULT_DATA_STORAGE
 from ctseg_tpu.training.trainer import Trainer
+from ctseg_tpu.transforms.pipelines import batched_transform
+
+
+def _write_sample(out_dir: Path, name: str, img0: np.ndarray,
+                  preds: np.ndarray, cams: np.ndarray) -> None:
+    """Artifacts for ONE sample: .npy always, overlay PNG when possible."""
+    np.save(out_dir / f"{name}_gradcam.npy", cams)
+    np.save(out_dir / f"{name}_pred.npy", preds)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig, axes = plt.subplots(2, 5, figsize=(20, 8))
+    axes = axes.ravel()
+    axes[0].imshow(img0, cmap="gray")
+    axes[0].set_title(f"{name} (pred overlay)")
+    axes[0].imshow(preds, alpha=0.4, cmap="tab10", vmin=0, vmax=9)
+    for s_idx, s in enumerate(STRUCTURES):
+        ax = axes[s_idx + 1]
+        ax.imshow(img0, cmap="gray")
+        ax.imshow(cams[s_idx], alpha=0.5, cmap="jet")
+        ax.set_title(s)
+        ax.axis("off")
+    fig.savefig(out_dir / f"{name}_gradcam.png", dpi=80)
+    plt.close(fig)
+
+
+def run_interpretability(trainer, params, dataset, out_dir: Path,
+                         max_samples: int = 20, min_structures: int = 5,
+                         layer: str = "feat_down1", batch_size: int = 8) -> int:
+    """Batched driver: one jitted transform+forward+GradCAM per batch."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    model = trainer.model
+
+    @jax.jit
+    def step(params, raw, lab):
+        img, _ = batched_transform(
+            trainer.test_transform, jax.random.key(0), raw, lab
+        )
+        preds = squash_predictions(model.apply(params, img))
+        cams = gradcam_all_structures(model, params, img, layer=layer)
+        return img, preds, cams
+
+    keep = [
+        i for i in range(len(dataset))
+        if dataset.indicators[i].sum() >= min_structures
+    ][:max_samples]
+    done = 0
+    for lo in range(0, len(keep), batch_size):
+        idxs = keep[lo : lo + batch_size]
+        pad = batch_size - len(idxs)  # static batch shape for the jit cache
+        padded = idxs + [idxs[-1]] * pad
+        raw = jnp.asarray(
+            np.stack([dataset.images[i] for i in padded]), jnp.float32
+        )
+        lab = jnp.asarray(
+            np.stack([dataset.labels[i] for i in padded]), jnp.int32
+        )
+        img, preds, cams = step(params, raw, lab)
+        img, preds, cams = np.asarray(img), np.asarray(preds), np.asarray(cams)
+        for j, i in enumerate(idxs):
+            _write_sample(
+                out_dir, dataset.names[i], img[j, ..., 0], preds[j], cams[j]
+            )
+            done += 1
+    return done
 
 
 def main():
@@ -33,62 +108,18 @@ def main():
     parser.add_argument("--max_samples", type=int, default=20)
     parser.add_argument("--min_structures", type=int, default=5)
     parser.add_argument("--layer", type=str, default="feat_down1")
+    parser.add_argument("--batch_size", type=int, default=8)
     args = parser.parse_args()
 
     trainer, state = Trainer.restore(args.checkpoint)
     data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
     dataset = PackedDataset2D.load(data_dir / "test_packed.npz")
-    out_dir = Path(args.out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-
-    model = trainer.model
-    params = state.params
-    done = 0
-    for i in range(len(dataset)):
-        if dataset.indicators[i].sum() < args.min_structures:
-            continue
-        raw = jnp.asarray(dataset.images[i : i + 1], jnp.float32)
-        lab = jnp.asarray(dataset.labels[i : i + 1], jnp.int32)
-        key = jax.random.key(0)
-        from ctseg_tpu.transforms.pipelines import batched_transform
-
-        img, lab_t = batched_transform(trainer.test_transform, key, raw, lab)
-        logits = model.apply(params, img)
-        preds = np.asarray(squash_predictions(logits))[0]
-
-        name = dataset.names[i]
-        cams = np.asarray(
-            gradcam_all_structures(model, params, img, layer=args.layer)
-        )[0]  # (9, H, W)
-        np.save(out_dir / f"{name}_gradcam.npy", cams)
-        np.save(out_dir / f"{name}_pred.npy", preds)
-
-        try:
-            import matplotlib
-
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-
-            fig, axes = plt.subplots(2, 5, figsize=(20, 8))
-            axes = axes.ravel()
-            axes[0].imshow(np.asarray(img)[0, ..., 0], cmap="gray")
-            axes[0].set_title(f"{name} (pred overlay)")
-            axes[0].imshow(preds, alpha=0.4, cmap="tab10", vmin=0, vmax=9)
-            for s_idx, s in enumerate(STRUCTURES):
-                ax = axes[s_idx + 1]
-                ax.imshow(np.asarray(img)[0, ..., 0], cmap="gray")
-                ax.imshow(cams[s_idx], alpha=0.5, cmap="jet")
-                ax.set_title(s)
-                ax.axis("off")
-            fig.savefig(out_dir / f"{name}_gradcam.png", dpi=80)
-            plt.close(fig)
-        except ImportError:
-            pass
-
-        done += 1
-        if done >= args.max_samples:
-            break
-    print(f"wrote interpretability artifacts for {done} samples to {out_dir}")
+    done = run_interpretability(
+        trainer, state.params, dataset, Path(args.out_dir),
+        max_samples=args.max_samples, min_structures=args.min_structures,
+        layer=args.layer, batch_size=args.batch_size,
+    )
+    print(f"wrote interpretability artifacts for {done} samples to {args.out_dir}")
 
 
 if __name__ == "__main__":

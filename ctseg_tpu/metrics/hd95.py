@@ -1,16 +1,33 @@
-"""95th-percentile Hausdorff distance (host-side, numpy/scipy).
+"""95th-percentile Hausdorff distance: device (jitted) and host (scipy) paths.
 
 New capability relative to the reference (which publishes Dice only); part
 of the benchmark north star's metric set (BASELINE.json: "Dice/HD95").
 HD95 = max over directions of the 95th percentile of surface-to-surface
-distances, computed from EDT of each mask's boundary. Supports anisotropic
-voxel spacing (z-first, matching the Volume layout).
+distances, computed from EDT of each mask's boundary.
+
+Two implementations:
+  - `hd95_per_structure_device`: pure-jnp, jit/vmap-friendly, unit voxel
+    spacing. Surfaces via cross-structuring-element erosion, distances via
+    the exact separable squared EDT (ops/edt.py), percentiles via a
+    binary-search order statistic (squared distances are integer-valued,
+    so the search is exact) with numpy's linear interpolation. Lets
+    whole-volume evaluation keep predictions on device (no volume-sized
+    host transfers).
+  - `hd95` / `hd95_per_structure`: numpy/scipy host path, the differential
+    oracle; additionally supports anisotropic voxel spacing (z-first,
+    matching the Volume layout).
 """
 
+import math
+from functools import partial
 from typing import Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import binary_erosion, distance_transform_edt
+
+from ctseg_tpu.ops.edt import edt_squared
 
 
 def _surface(mask: np.ndarray) -> np.ndarray:
@@ -65,3 +82,95 @@ def hd95_per_structure(
     for c in range(1, n_classes):
         out[c - 1] = hd95(pred_labels == c, target_labels == c, spacing=spacing)
     return out
+
+
+# --------------------------------------------------------------------- device
+
+
+def _surface_device(mask: jnp.ndarray) -> jnp.ndarray:
+    """Boundary voxels on device: mask minus its erosion.
+
+    Matches scipy.ndimage.binary_erosion's default cross (connectivity-1)
+    structuring element with border_value=0: a voxel survives erosion iff it
+    and all its 2*ndim face neighbors are set (outside counts as unset).
+    """
+    eroded = mask
+    for ax in range(mask.ndim):
+        pad = [(0, 0)] * mask.ndim
+        pad[ax] = (1, 1)
+        padded = jnp.pad(mask, pad)  # zeros outside
+        n = mask.shape[ax]
+        fwd = jax.lax.slice_in_dim(padded, 2, n + 2, axis=ax)
+        bwd = jax.lax.slice_in_dim(padded, 0, n, axis=ax)
+        eroded = eroded & fwd & bwd
+    return mask & jnp.logical_not(eroded)
+
+
+def _masked_order_stat(d2: jnp.ndarray, mask: jnp.ndarray, j: jnp.ndarray,
+                       n_iters: int) -> jnp.ndarray:
+    """j-th smallest (0-indexed) of the integer-valued d2 entries where
+    `mask` is set, via binary search on the value range: the smallest
+    integer t with count(masked d2 <= t) >= j + 1. Exact because squared
+    Euclidean distances at unit spacing are integers."""
+    d2 = d2.ravel()
+    m = mask.ravel()
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = jnp.floor_divide(lo + hi, 2)
+        cnt = jnp.sum(jnp.where(m, (d2 <= mid.astype(d2.dtype)), False))
+        found = cnt >= j + 1
+        return jnp.where(found, lo, mid + 1), jnp.where(found, mid, hi)
+
+    lo = jnp.zeros((), jnp.int32)
+    hi = jnp.asarray(2 ** n_iters - 1, jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    return hi.astype(jnp.float32)
+
+
+def _masked_percentile_sqrt(d2, mask, percentile: float, n_iters: int):
+    """sqrt of the masked set of integer d2 values' `percentile`-th
+    percentile (numpy linear interpolation over the sqrt'd values).
+    Returns (value, n_masked)."""
+    n = jnp.sum(mask)
+    pos = (percentile / 100.0) * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    lo_idx = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - lo_idx.astype(jnp.float32)
+    hi_idx = jnp.minimum(lo_idx + 1, jnp.maximum(n - 1, 0))
+    v_lo = jnp.sqrt(_masked_order_stat(d2, mask, lo_idx, n_iters))
+    v_hi = jnp.sqrt(_masked_order_stat(d2, mask, hi_idx, n_iters))
+    return v_lo + frac * (v_hi - v_lo), n
+
+
+@partial(jax.jit, static_argnames=("n_classes", "percentile"))
+def hd95_per_structure_device(
+    pred_labels: jnp.ndarray,
+    target_labels: jnp.ndarray,
+    n_classes: int = 10,
+    percentile: float = 95.0,
+) -> jnp.ndarray:
+    """Per-class HD95 of integer label maps, entirely on device.
+
+    pred_labels/target_labels: (*spatial) int label maps (2D or 3D).
+    Returns (n_classes - 1,) float32 with nan where either mask is empty.
+    Unit voxel spacing (use the scipy path for anisotropic spacing);
+    matches `hd95_per_structure` to float tolerance (tests/test_hd95.py).
+    """
+    max_d2 = sum(int(s) ** 2 for s in pred_labels.shape)
+    n_iters = max(1, math.ceil(math.log2(max_d2 + 1)))
+
+    def per_class(c):
+        pm = pred_labels == c
+        tm = target_labels == c
+        ps = _surface_device(pm)
+        ts = _surface_device(tm)
+        # distance_transform_edt(~surface): distance to the nearest surface
+        # voxel of the other mask, evaluated at this mask's surface voxels.
+        d2_to_t = edt_squared(jnp.logical_not(ts))
+        d2_to_p = edt_squared(jnp.logical_not(ps))
+        a, na = _masked_percentile_sqrt(d2_to_t, ps, percentile, n_iters)
+        b, nb = _masked_percentile_sqrt(d2_to_p, ts, percentile, n_iters)
+        ok = jnp.logical_and(na > 0, nb > 0)
+        return jnp.where(ok, jnp.maximum(a, b), jnp.nan)
+
+    return jax.vmap(per_class)(jnp.arange(1, n_classes))

@@ -45,22 +45,45 @@ def _scan_distance_1d(sites: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(dist, 0, -1)
 
 
+def _min_plus(d2: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """One separable squared-EDT pass: D2[i] = min_k (d2[k] + (i - k)^2).
+
+    Exact (the squared EDT is separable per axis); brute-force O(n^2) over
+    the axis, which XLA fuses into the reduction without materializing the
+    (n, n, rest) broadcast.
+    """
+    n = d2.shape[axis]
+    d2m = jnp.moveaxis(d2, axis, 0)  # (n, ...)
+    i = jnp.arange(n, dtype=d2.dtype)
+    cost = (i[:, None] - i[None, :]) ** 2  # (n, n)
+    cost = cost.reshape((n, n) + (1,) * (d2m.ndim - 1))
+    out = jnp.min(cost + d2m[None], axis=1)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def edt_squared(mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact SQUARED Euclidean distance to the nearest zero of `mask`, N-D.
+
+    scipy.ndimage.distance_transform_edt(mask)**2 semantics at unit spacing:
+    distance is 0 on zeros of the input; an all-ones input gives _BIG.
+    Values are integer-valued floats (sums of squared integer offsets),
+    which downstream percentile code exploits (metrics/hd95.py).
+    """
+    sites = jnp.logical_not(mask.astype(bool))
+    g = _scan_distance_1d(sites)  # exact 1D distance along the last axis
+    d2 = jnp.minimum(g * g, _BIG)
+    for ax in range(mask.ndim - 1):
+        d2 = _min_plus(d2, ax)
+    return d2
+
+
 def edt(mask: jnp.ndarray) -> jnp.ndarray:
     """Euclidean distance from each pixel to the nearest zero of `mask`.
 
-    mask: (H, W) bool/int — scipy.ndimage.distance_transform_edt semantics:
+    mask: N-D bool/int — scipy.ndimage.distance_transform_edt semantics:
     distance is 0 on zeros of the input, all-ones input gives large values.
     """
-    sites = jnp.logical_not(mask.astype(bool))  # distance to nearest background
-    h = mask.shape[0]
-    g = _scan_distance_1d(sites)  # (H, W): exact 1D distance along rows
-    g2 = jnp.minimum(g * g, _BIG)
-    # Column pass: D2[i, j] = min_k (g2[k, j] + (i - k)^2).
-    i = jnp.arange(h, dtype=jnp.float32)
-    k = jnp.arange(h, dtype=jnp.float32)
-    cost = (i[:, None] - k[None, :]) ** 2  # (H, H)
-    d2 = jnp.min(cost[:, :, None] + g2[None, :, :], axis=1)  # (H, W)
-    return jnp.sqrt(d2)
+    return jnp.sqrt(edt_squared(mask))
 
 
 def signed_distance_map(mask: jnp.ndarray) -> jnp.ndarray:

@@ -105,6 +105,51 @@ def run_model(name, data_dir, args):
     return result
 
 
+# Released-checkpoint filenames per parity model (reference paths.py:46-49:
+# Model L = model_large.ckpt, Model M (mixup) = model_mixup.ckpt).
+RELEASED_FILES = {"model_l": "model_large.ckpt", "model_m": "model_mixup.ckpt"}
+
+
+def resolve_released(source: str, name: str, out_dir: Path) -> Path:
+    """Resolve --from_released to a local .ckpt for `name`.
+
+    `source` may be a local directory holding the released files, a local
+    .ckpt file, or a URL prefix/full URL (fetched with urllib — blocked in
+    zero-egress environments, in which case the error says exactly what to
+    download). Defaults to the reference's GitHub release URLs
+    (ctseg_tpu.paths.TRAINED_MODELS) when source == "github".
+    """
+    from ctseg_tpu.paths import TRAINED_MODELS
+
+    fname = RELEASED_FILES[name]
+    if source == "github":
+        url = TRAINED_MODELS["large" if name == "model_l" else "mixup"]
+    elif source.startswith(("http://", "https://")):
+        url = source if source.endswith(".ckpt") else f"{source.rstrip('/')}/{fname}"
+    else:
+        p = Path(source)
+        local = p if p.is_file() else p / fname
+        if not local.exists():
+            raise FileNotFoundError(
+                f"--from_released: {local} not found (expected the released "
+                f"checkpoint {fname}; see ctseg_tpu.paths.TRAINED_MODELS)"
+            )
+        return local
+    dest = out_dir / fname
+    if dest.exists():
+        return dest
+    import urllib.request
+
+    try:
+        urllib.request.urlretrieve(url, dest)  # noqa: S310 — pinned URLs
+    except Exception as e:  # zero-egress container: say what to fetch
+        raise RuntimeError(
+            f"could not download {url} ({e}); fetch it on a connected "
+            f"machine and pass --from_released <dir containing {fname}>"
+        ) from e
+    return dest
+
+
 def evaluate_checkpoint(ckpt_path, name, data_dir, args):
     """Evaluate an imported reference checkpoint instead of retraining."""
     import jax
@@ -155,6 +200,12 @@ def main():
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="evaluate a reference .ckpt (torch) instead of "
                         "training; applies to the first model in --models")
+    parser.add_argument("--from_released", type=str, default=None,
+                        help="evaluate the reference's RELEASED checkpoints "
+                        "for every model in --models: a directory holding "
+                        "model_large.ckpt/model_mixup.ckpt, a .ckpt file, a "
+                        "URL prefix, or 'github' (the release URLs; needs "
+                        "egress)")
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--synthetic", action="store_true", default=False,
@@ -178,7 +229,10 @@ def main():
         )
     payload = {"synthetic": args.synthetic, "models": {}}
     for name in args.models:
-        if args.checkpoint and name == args.models[0]:
+        if args.from_released:
+            ckpt = resolve_released(args.from_released, name, args.out_dir)
+            result = evaluate_checkpoint(str(ckpt), name, data_dir, args)
+        elif args.checkpoint and name == args.models[0]:
             result = evaluate_checkpoint(args.checkpoint, name, data_dir, args)
         else:
             result = run_model(name, data_dir, args)

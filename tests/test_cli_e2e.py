@@ -97,3 +97,60 @@ def test_cli_train_full_data_saves_and_tests(
         (tmp_path / "storage" / "model_large" / "hparams.json").read_text()
     )
     assert hp["filters"] == [2, 4, 8, 16, 32]
+
+
+def test_parity_report_from_released(tiny_data_dir, tmp_path, monkeypatch):
+    """`parity_report.py --from_released <dir>`: a synthesized reference
+    Lightning checkpoint (released-file layout, model_large.ckpt) is
+    resolved, imported through load_reference_checkpoint, and evaluated on
+    the packed test split — the no-retraining parity path, runnable today."""
+    import torch
+
+    import parity_report
+    from torch_unet_oracle import ReferenceModelOracle
+
+    torch.manual_seed(0)
+    oracle = ReferenceModelOracle(
+        2, 3, 10, (2, 4, 8, 16, 32), (2, 2, 2, 2), num_res_units=2,
+    )
+    released = tmp_path / "released"
+    released.mkdir()
+    torch.save(
+        {
+            "state_dict": oracle.state_dict(),
+            "hyper_parameters": {
+                "batch_size": 8,
+                "transform_degree": 1,
+                "filters": [2, 4, 8, 16, 32],
+                "use_res_units": True,
+                "downsample": False,
+                "lr": 1e-3,
+                "loss_fx": ["Focal", "Dice"],
+                "exclude_missing": False,
+            },
+        },
+        released / "model_large.ckpt",
+    )
+    out = tmp_path / "parity_out"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["parity_report.py", "--models", "model_l",
+         "--from_released", str(released),
+         "--data_dir", str(tiny_data_dir), "--out_dir", str(out)],
+    )
+    parity_report.main()
+    payload = json.loads((out / "parity_report.json").read_text())
+    res = payload["models"]["model_l"]["result"]
+    assert res["num_slices"] == 8
+    assert set(res["per_structure_dice"]) == set(
+        parity_report.REFERENCE_DICE["model_l"]
+    )
+    assert (out / "parity_report.md").exists()
+
+
+def test_parity_report_from_released_missing_file(tmp_path):
+    import parity_report
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        parity_report.resolve_released(str(tmp_path), "model_l", tmp_path)

@@ -1,9 +1,14 @@
-"""HD95 metric sanity and known-geometry cases."""
+"""HD95 metric sanity, known-geometry cases, and device==scipy parity."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ctseg_tpu.metrics.hd95 import hd95, hd95_per_structure
+from ctseg_tpu.metrics.hd95 import (
+    hd95,
+    hd95_per_structure,
+    hd95_per_structure_device,
+)
 
 
 def test_identical_masks_zero():
@@ -46,3 +51,48 @@ def test_per_structure(rng):
     assert out.shape == (3,)
     assert np.isnan(out[1])
     assert np.isfinite(out[0]) and np.isfinite(out[2])
+
+
+@pytest.mark.parametrize("shape", [(24, 24), (16, 20, 12)])
+def test_device_matches_scipy_random(rng, shape):
+    """Jitted HD95 == scipy path (surfaces, EDT, percentile interpolation)."""
+    pred = rng.integers(0, 4, size=shape)
+    target = rng.integers(0, 4, size=shape)
+    target[target == 2] = 0  # class absent from GT -> nan in both paths
+    ref = hd95_per_structure(pred, target, n_classes=4)
+    ours = np.asarray(
+        hd95_per_structure_device(jnp.asarray(pred), jnp.asarray(target), 4)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_device_matches_scipy_blobs(rng):
+    """Structured (non-noise) masks: interiors erode away, percentile
+    interpolates between distinct order statistics."""
+    pred = np.zeros((32, 32, 16), np.int32)
+    target = np.zeros((32, 32, 16), np.int32)
+    pred[4:18, 4:18, 3:10] = 1
+    target[7:21, 5:19, 4:12] = 1
+    pred[22:30, 22:30, 8:14] = 2
+    target[20:28, 21:31, 7:13] = 2
+    ref = hd95_per_structure(pred, target, n_classes=3)
+    ours = np.asarray(
+        hd95_per_structure_device(jnp.asarray(pred), jnp.asarray(target), 3)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_device_all_percentiles(rng):
+    """The order-statistic binary search is exact at any percentile."""
+    pred = np.zeros((40, 40), np.int32)
+    target = np.zeros((40, 40), np.int32)
+    pred[5:15, 5:15] = 1
+    target[9:23, 8:20] = 1
+    for q in (50.0, 90.0, 100.0):
+        ref = hd95(pred == 1, target == 1, percentile=q)
+        ours = np.asarray(
+            hd95_per_structure_device(
+                jnp.asarray(pred), jnp.asarray(target), 2, percentile=q
+            )
+        )[0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

@@ -1,9 +1,10 @@
 """Custom-VJP fused InstanceNorm+PReLU == composed reference, value + grads.
 
 The unfused ConvUnit/ConvTransposeUnit norm+act path routes through
-models/layers.py::instance_norm_prelu, whose backward reconstructs the
-normalized activation from the OUTPUT (PReLU is invertible) instead of
-re-reading x. These tests pin value and gradient agreement in float64
+models/layers.py::instance_norm_prelu, whose backward stores the normalized
+activation xhat (in x's dtype) as the residual and applies the analytic
+InstanceNorm backward — exact for all alpha, including alpha <= 0 where
+PReLU is not invertible. These tests pin value and gradient agreement in float64
 against plain autodiff of instance_norm + PReLU, plus the parameter-tree
 compatibility of the rewired units.
 """

@@ -78,6 +78,40 @@ def test_visualize_arrays(rng):
     assert len(values) == 9
 
 
+def test_run_interpretability_batched(tmp_path, rng):
+    """The batched driver writes one artifact set per qualifying sample —
+    incl. a partial final batch — and skips under-annotated samples."""
+    from ctseg_tpu.data.datasets import PackedDataset2D
+    from ctseg_tpu.interpret.run import run_interpretability
+    from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+    config = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=0, transform_degree=1,
+        batch_size=2, input_size=32,
+    )
+    trainer = Trainer(config)
+    state = trainer.init_state()
+
+    n = 7
+    indicators = np.ones((n, 9), np.float32)
+    indicators[2, :] = 0  # disqualified (<5 structures)
+    dataset = PackedDataset2D(
+        images=rng.normal(size=(n, 32, 32)).astype(np.float32) * 300,
+        labels=rng.integers(0, 10, size=(n, 32, 32)).astype(np.uint8),
+        indicators=indicators,
+        names=[f"s{i}" for i in range(n)],
+    )
+    done = run_interpretability(
+        trainer, state.params, dataset, tmp_path, max_samples=5,
+        min_structures=5, batch_size=4,
+    )
+    assert done == 5
+    written = sorted(p.name for p in tmp_path.glob("*_gradcam.npy"))
+    assert written == [f"s{i}_gradcam.npy" for i in (0, 1, 3, 4, 5)]
+    cams = np.load(tmp_path / "s0_gradcam.npy")
+    assert cams.shape == (9, 32, 32) and np.isfinite(cams).all()
+
+
 def test_gradcam_all_structures_matches_single(small_model, rng):
     """The batched 9-class sweep == per-class calls (one jitted pass)."""
     import numpy as np

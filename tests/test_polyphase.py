@@ -1,6 +1,7 @@
 """Polyphase (subpixel) transposed conv == nn.ConvTranspose, exactly.
 
-The decoder's ConvTransposeUnit defaults to the polyphase decomposition
+The decoder's ConvTransposeUnit can optionally route through the polyphase
+decomposition (off by default — measured slower than XLA's lowering on v5e)
 (ctseg_tpu/models/layers.py::polyphase_conv_transpose): s^ndim dense
 stride-1 convolutions + interleave, same taps and products as the
 dilated-input lowering. These tests pin value and gradient agreement in
