@@ -131,19 +131,17 @@ class PReLU(nn.Module):
             (1,),
             self.param_dtype,
         )
-        if self.fused_instance_norm:
+        if self.fused_instance_norm and jax.default_backend() == "tpu":
             from ctseg_tpu.ops.pallas.instance_norm import (
                 fused_instance_norm_prelu,
                 fusion_supported,
             )
 
             if fusion_supported(x.shape):
-                out = fused_instance_norm_prelu(
-                    x.astype(jnp.float32), alpha.astype(jnp.float32)
-                )
-                return out.astype(x.dtype)
-            # Infeasible tiling (large spatial x small channel count):
-            # fall back to the unfused path below.
+                # bf16 stays bf16 end-to-end; the kernel keeps stats in f32
+                # internally (ops/pallas/instance_norm.py).
+                return fused_instance_norm_prelu(x, alpha)
+            # Infeasible tiling: fall back to the unfused path below.
             x = instance_norm(x)
         return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 

@@ -69,6 +69,11 @@ class TrainConfig:
     # Checkpoint-compatible with the unfused path; infeasible shapes fall
     # back to XLA automatically.
     fused_conv: bool = False
+    # Run every InstanceNorm+PReLU as the one-pass Pallas kernel
+    # (ops/pallas/instance_norm.py): bf16 in/out, f32 stats, saved-stats
+    # backward. Checkpoint-compatible (parameter-free); silently falls back
+    # to the XLA chain off-TPU.
+    fused_norm: bool = False
     # Decoder transposed convs as dense polyphase convs (checkpoint-
     # compatible; see models/layers.py::polyphase_conv_transpose).
     # OFF by default: measured slower than XLA's lowering on v5e.
@@ -122,6 +127,11 @@ class Trainer:
             downsample=config.downsample,
             dtype=dtype,
             fused_conv_block=config.fused_conv,
+            # The fused IN+PReLU kernel has no pjit partitioning rule yet:
+            # under a mesh XLA would gather the batch around the pallas_call,
+            # so fusion engages on single-chip trainers only (the kernel
+            # itself is also TPU-gated, models/layers.py::PReLU).
+            fused_norm_act=config.fused_norm and mesh is None,
             polyphase_up=config.polyphase_up,
         )
         self.loss = MultiLoss(

@@ -1,6 +1,6 @@
 """Capture a train-step trace on TPU and print the per-op-category breakdown.
 
-Usage: python perf/profile_step.py [fused_conv: 0|1]
+Usage: python perf/profile_step.py [fused_conv: 0|1] [fused_norm: 0|1]
 """
 
 import glob
@@ -21,10 +21,12 @@ BATCH = 128
 
 def main():
     fused = bool(int(sys.argv[1])) if len(sys.argv) > 1 else False
+    fused_norm = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
     config = TrainConfig(
         filters=(64, 128, 256, 512, 1024), num_res_units=2,
         transform_degree=2, batch_size=BATCH, loss_fx=("Focal", "Dice"),
         exclude_missing=True, compute_dtype="bfloat16", fused_conv=fused,
+        fused_norm=fused_norm,
     )
     trainer = Trainer(config)
     state = trainer.init_state()
@@ -40,7 +42,7 @@ def main():
         state, metrics = trainer._train_step(state, batch, key)
     float(metrics["loss/total"])
 
-    logdir = f"/tmp/prof_fused{int(fused)}"
+    logdir = f"/tmp/prof_fused{int(fused)}_{int(fused_norm)}"
     jax.profiler.start_trace(logdir)
     for _ in range(5):
         state, metrics = trainer._train_step(state, batch, key)

@@ -155,10 +155,18 @@ def measure_site(site, rng, chain=8):
         return jnp.where(xhat >= 0, xhat, al * xhat).astype(y.dtype)
 
     def chained(x, w, b, a):
+        # jax.checkpoint: the scan backward would otherwise store `chain`
+        # copies of each iteration's activations (HBM OOM at the big sites);
+        # with remat the backward recomputes the body, so one chained
+        # fwd+bwd iteration costs 2*fwd + bwd — corrected for below.
+        @jax.checkpoint
+        def body_fn(c, x, w, b, a):
+            y = unit(x + c.astype(x.dtype), w, b, a)
+            return jnp.mean(y.astype(jnp.float32))
+
         def body(carry, _):
             c, acc = carry
-            y = unit(x + c.astype(x.dtype), w, b, a)
-            m = jnp.mean(y.astype(jnp.float32))
+            m = body_fn(c, x, w, b, a)
             return (1e-30 * m, acc + m), None
 
         (c, acc), _ = jax.lax.scan(
@@ -179,8 +187,8 @@ def measure_site(site, rng, chain=8):
         return (time.perf_counter() - t0) / (reps * chain) * 1e3
 
     t_fwd = t(fwd, x, w, b, a)
-    t_fb = t(both, x, w, b, a)
-    return t_fwd, t_fb
+    t_fb_remat = t(both, x, w, b, a)  # = 2*fwd + bwd per iteration
+    return t_fwd, t_fb_remat - t_fwd
 
 
 def main():

@@ -54,6 +54,47 @@ def test_fused_instance_norm_prelu_3d(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_instance_norm_prelu_streaming(rng, monkeypatch):
+    """The STREAMING form (spatially tiled stats/normalize sweeps, used when
+    a slab exceeds VMEM) matches the reference for value AND gradients —
+    forced here by shrinking the resident budget."""
+    import ctseg_tpu.ops.pallas.instance_norm as inorm
+
+    monkeypatch.setattr(inorm, "RESIDENT_BUDGET", 1024)  # force streaming
+    x = jnp.asarray(rng.normal(1.0, 2.0, size=(2, 12, 16, 8)).astype(np.float32))
+    alpha = jnp.asarray([0.25], jnp.float32)
+    assert not inorm._pick_tile(8, 12, 16)[2]
+
+    out = inorm.fused_instance_norm_prelu(x, alpha, True)
+    ref = reference_instance_norm_prelu(x, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def loss_fused(x, a):
+        return jnp.sum(jnp.square(inorm.fused_instance_norm_prelu(x, a, True)) * 0.5)
+
+    def loss_ref(x, a):
+        return jnp.sum(jnp.square(reference_instance_norm_prelu(x, a)) * 0.5)
+
+    gx_f, ga_f = jax.grad(loss_fused, argnums=(0, 1))(x, alpha)
+    gx_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(x, alpha)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r), rtol=1e-3, atol=1e-5)
+
+
+def test_fused_instance_norm_prelu_bf16(rng):
+    """bf16 inputs stay bf16 (no f32 round trip); stats are f32 inside."""
+    x32 = rng.normal(0.0, 2.0, size=(2, 8, 16, 8)).astype(np.float32)
+    x = jnp.asarray(x32, jnp.bfloat16)
+    alpha = jnp.asarray([0.25], jnp.float32)
+    out = fused_instance_norm_prelu(x, alpha, True)
+    assert out.dtype == jnp.bfloat16
+    ref = reference_instance_norm_prelu(x, alpha)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.02, atol=0.02,
+    )
+
+
 def test_conv3x3_in_prelu_fused(rng):
     from ctseg_tpu.ops.pallas.conv_fused import (
         conv3x3_in_prelu,
