@@ -42,10 +42,12 @@ LR = 1e-3
 EPS = 1e-8
 
 
-def _import_params(oracle):
+def _import_params(oracle, in_channels=3, channels=CHANNELS,
+                   strides=(2, 2, 2, 2)):
     return import_monai_state_dict(
-        oracle.state_dict(), in_channels=3, channels=CHANNELS,
-        num_res_units=oracle.unet.num_res_units, dtype=jnp.float64,
+        oracle.state_dict(), in_channels=in_channels, channels=channels,
+        strides=strides, num_res_units=oracle.unet.num_res_units,
+        dtype=jnp.float64,
     )
 
 
@@ -65,8 +67,8 @@ def _setup(num_res_units, rng, batch=2, spatial=(32, 32)):
     return oracle, model, params, images, labels
 
 
-def _assert_trees_close(ours, oracle, step, **tol):
-    ref = _import_params(oracle)["params"]
+def _assert_trees_close(ours, oracle, step, import_kwargs=None, **tol):
+    ref = _import_params(oracle, **(import_kwargs or {}))["params"]
     flat_ours = jax.tree_util.tree_flatten_with_path(ours)[0]
     flat_ref = {
         jax.tree_util.keystr(k): v
@@ -168,6 +170,67 @@ def test_mixup_trajectory_matches_torch(rng):
             )
         _assert_trees_close(
             params["params"], oracle, i, rtol=0, atol=1e-8
+        )
+
+
+def test_adam_trajectory_matches_torch_3d(rng):
+    """The VOLUMETRIC stack's training dynamics follow torch too: >=5
+    identical Focal+Dice Adam steps of a 3D UNet (Conv3d/ConvTranspose3d/
+    InstanceNorm3d oracle, patch-shaped input, num_res_units=2 as in the 3D
+    patch trainer's presets) with parameter trees pinned each step.
+
+    The 2D tests pin the plane-slice model; this one additionally exercises
+    the rank-3 convT backward under the reference padding convention and
+    the N-D loss path shared with volumetric/trainer3d.py. Ref:
+    capstone/volumetric/base_trainer.py:55-101 (same summed-loss step)."""
+    channels = (4, 8, 16, 32)
+    strides = (2, 2, 2)
+    torch.manual_seed(3)
+    oracle = ReferenceModelOracle(
+        3, 1, 10, channels, strides=strides, num_res_units=2,
+    ).double()
+    params = _import_params(
+        oracle, in_channels=1, channels=channels, strides=strides
+    )
+    model = SegmentationModel(
+        out_channels=10, channels=channels, strides=strides,
+        num_res_units=2, dtype=jnp.float64, param_dtype=jnp.float64,
+    )
+    images = rng.normal(size=(2, 16, 16, 8, 1)).astype(np.float64)
+    labels = rng.integers(0, 10, size=(2, 16, 16, 8)).astype(np.int32)
+
+    opt = torch.optim.Adam(oracle.parameters(), lr=LR, eps=EPS)
+    loss = MultiLoss(["Focal", "Dice"])
+    opt_state = adam_init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply(p, jnp.asarray(images))
+            values = loss(logits, jnp.asarray(labels))
+            return loss.total(values), values
+
+        (_, values), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params, opt_state = adam_update(grads, opt_state, params, LR, eps=EPS)
+        return params, opt_state, values
+
+    t_images = torch.from_numpy(np.moveaxis(images, -1, 1))
+    t_labels = torch.from_numpy(labels)
+    for i in range(N_STEPS):
+        params, opt_state, values = step(params, opt_state)
+        ref_values = train_step_torch(
+            oracle, opt, t_images, t_labels, ["Focal", "Dice"]
+        )
+        for name in ("Focal", "Dice"):
+            np.testing.assert_allclose(
+                float(values[name]), ref_values[name], rtol=1e-6,
+                err_msg=f"step {i}: loss {name}",
+            )
+        _assert_trees_close(
+            params["params"], oracle, i,
+            import_kwargs=dict(in_channels=1, channels=channels,
+                               strides=strides),
+            rtol=0, atol=1e-8,
         )
 
 
