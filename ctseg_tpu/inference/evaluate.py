@@ -347,6 +347,9 @@ def format_table(result: Dict) -> str:
 
 
 def main(argv=None):
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = ArgumentParser(
         description="Evaluate a checkpoint on a packed split: per-structure "
         "Dice (+HD95). 2D slice checkpoints run the slice pipeline; 3D "

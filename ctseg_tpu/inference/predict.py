@@ -185,6 +185,9 @@ def _scan_paths(input_path: Path):
 
 
 def main():
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = ArgumentParser(description="Segment CT scans with a checkpoint")
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument(

@@ -101,6 +101,9 @@ def run_interpretability(trainer, params, dataset, out_dir: Path,
 
 
 def main():
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = ArgumentParser()
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--data_dir", type=str, default=None)

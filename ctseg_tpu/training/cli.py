@@ -196,6 +196,9 @@ def run_3d(args) -> None:
 
 
 def main():
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = ArgumentParser(description="ctseg_tpu training")
     sub = parser.add_subparsers(dest="command", required=True)
     for name in ("train", "train_mixup", "train_3d"):

@@ -192,6 +192,9 @@ def comparison_table(name, result):
 
 
 def main():
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument("--data_dir", type=str, default=None,
                         help="directory with {train,valid,test}_packed.npz")

@@ -1,4 +1,4 @@
-"""Reproducible end-to-end evidence run -> EVIDENCE_r2.json.
+"""Reproducible end-to-end evidence run -> EVIDENCE_r{N}.json (see --out).
 
 Runs the whole demonstration suite on the current hardware (real TPU under
 axon; also works on CPU, just slower): synthetic PDDCA-layout patients
@@ -255,7 +255,7 @@ def main():
 
     evidence = {
         "what": (
-            "Round-2 evidence: full demonstration suite on "
+            "End-to-end evidence: full demonstration suite on "
             f"{jax.devices()[0].platform} "
             "(synthetic PDDCA-layout data; real data needs network access "
             "unavailable here)"
