@@ -17,10 +17,12 @@ One code path serves 2D (N,H,W,C) and 3D (N,D,H,W,C) — the reference needed
 a separate volumetric twin stack for 3D (capstone/volumetric/).
 """
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctseg_tpu.models.layers import (
     ConvTransposeUnit,
@@ -54,6 +56,41 @@ class UNet(nn.Module):
     # gradients w.r.t. them (ctseg_tpu/interpret/gradcam.py). No-op for
     # normal training/inference.
     capture_features: bool = False
+    # GSPMD spatial partitioning of 3D volumes over the depth axis: when a
+    # mesh with a `spatial_axis` axis is supplied, every level's activation
+    # (N, H, W, D, C) is constrained to shard D over that axis while the
+    # per-shard extent stays >= min_depth_per_shard and divisible, and to
+    # replicate D below that (the deep levels are tiny; XLA's conv halo
+    # exchange degenerates there — measured wrong GRADIENTS from the SPMD
+    # partitioner when deep-level depth collapses under the shard count,
+    # perf/probe_gspmd_depth.py — while explicit per-level constraints are
+    # bit-exact). Batch stays sharded over `batch_axis` throughout.
+    spatial_mesh: Optional[jax.sharding.Mesh] = None
+    batch_axis: str = "data"
+    spatial_axis: str = "space"
+    min_depth_per_shard: int = 2
+
+    def _constrain_depth(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pin the depth-axis sharding of a 3D activation (no-op otherwise)."""
+        if self.spatial_mesh is None or x.ndim != 5:
+            return x
+        n = self.spatial_mesh.shape[self.spatial_axis]
+        if n == 1:
+            return x
+        # Shard an axis only while its global extent divides (batch-1 traces
+        # like model.init stay unsharded; deep levels drop the depth axis).
+        n_b = self.spatial_mesh.shape[self.batch_axis]
+        batch = self.batch_axis if x.shape[0] % n_b == 0 else None
+        d = x.shape[3]
+        space = (
+            self.spatial_axis
+            if d % n == 0 and d // n >= self.min_depth_per_shard
+            else None
+        )
+        spec = P(batch, None, None, space)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.spatial_mesh, spec)
+        )
 
     def _down(self, x: jnp.ndarray, features: int, stride: int, name: str):
         common = dict(
@@ -114,6 +151,7 @@ class UNet(nn.Module):
         skips = []
         for i in range(depth):
             x = self._down(x, self.channels[i], self.strides[i], name=f"down{i}")
+            x = self._constrain_depth(x)
             if self.capture_features:
                 x = self.perturb(f"feat_down{i}", x)
                 self.sow("intermediates", f"feat_down{i}", x)
@@ -121,6 +159,7 @@ class UNet(nn.Module):
 
         # Bottom block (stride 1).
         x = self._down(x, self.channels[depth], 1, name="bottom")
+        x = self._constrain_depth(x)
         if self.capture_features:
             x = self.perturb("feat_bottom", x)
             self.sow("intermediates", "feat_bottom", x)
@@ -133,6 +172,7 @@ class UNet(nn.Module):
             is_top = i == 0
             features = self.out_channels if is_top else self.channels[i - 1]
             x = self._up(x, features, self.strides[i], is_top, name=f"up{i}")
+            x = self._constrain_depth(x)
             if self.capture_features and not is_top:
                 x = self.perturb(f"feat_up{i}", x)
                 self.sow("intermediates", f"feat_up{i}", x)
@@ -158,6 +198,11 @@ class SegmentationModel(nn.Module):
     fused_conv_block: bool = False
     polyphase_up: bool = False
     capture_features: bool = False
+    # See UNet.spatial_mesh: GSPMD depth-axis partitioning for 3D volumes.
+    spatial_mesh: Optional[jax.sharding.Mesh] = None
+    batch_axis: str = "data"
+    spatial_axis: str = "space"
+    min_depth_per_shard: int = 2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -183,5 +228,9 @@ class SegmentationModel(nn.Module):
             fused_conv_block=self.fused_conv_block,
             polyphase_up=self.polyphase_up,
             capture_features=self.capture_features,
+            spatial_mesh=self.spatial_mesh,
+            batch_axis=self.batch_axis,
+            spatial_axis=self.spatial_axis,
+            min_depth_per_shard=self.min_depth_per_shard,
             name="unet",
         )(x)

@@ -5,8 +5,9 @@ Lightning-DDP flags, SURVEY.md §2); here multi-chip is first-class:
 
   - 1-D 'data' mesh: pjit data parallelism — batches sharded over ICI,
     params replicated, XLA inserts the gradient all-reduce.
-  - 2-D ('data', 'space') mesh: reserved for spatially-sharded sliding-window
-    inference over the slice axis (ctseg_tpu/inference).
+  - 2-D ('data', 'space') mesh: spatially-partitioned 3D training (volume
+    depth sharded over 'space', per-level constraints in models/unet.py)
+    and spatially-sharded sliding-window inference (ctseg_tpu/inference).
 
 Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
 mesh spans all processes' devices and per-host batches combine with
@@ -36,6 +37,19 @@ def make_mesh(
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     assert int(np.prod(shape)) == len(devices)
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def make_spatial_mesh(n_data: int, n_space: int) -> Mesh:
+    """2-D ('data', 'space') mesh for spatially-partitioned 3D training.
+
+    Batches shard over 'data'; the volume depth axis shards over 'space'
+    (the model pins per-level shardings — models/unet.py::_constrain_depth —
+    and XLA inserts the conv halo exchanges). Lay 'space' innermost so its
+    halo ppermutes ride adjacent-chip ICI links.
+    """
+    return make_mesh(
+        n_data * n_space, axis_names=("data", "space"), shape=(n_data, n_space)
+    )
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -42,6 +42,13 @@ def _add_common_args(parser: ArgumentParser) -> None:
     )
     parser.add_argument("--use_res_units", action="store_true", default=False)
     parser.add_argument("--downsample", action="store_true", default=False)
+    parser.add_argument(
+        "--input_size",
+        type=int,
+        default=None,
+        help="2D transform output size (default: the reference's 512-scan "
+        "crop geometry). Set to the slice size for non-PDDCA/synthetic data.",
+    )
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument(
         "--loss_fx", nargs="+", type=str, default=["Focal", "Dice"]
@@ -56,6 +63,21 @@ def _add_common_args(parser: ArgumentParser) -> None:
     parser.add_argument("--use_wandb", action="store_true", default=False)
     parser.add_argument("--experiment_name", type=str, default="UNet 2D")
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument(
+        "--spatial_devices",
+        type=int,
+        default=1,
+        help="train_3d: shard volume depth over this many devices "
+        "(('data','space') mesh; n_devices must be a multiple). 1 = pure DP.",
+    )
+    parser.add_argument(
+        "--resize_shape",
+        nargs=3,
+        type=int,
+        default=None,
+        help="train_3d: (H, W, D) volume grid (default: the reference's "
+        "256 256 96, volumetric/transforms.py:19).",
+    )
     parser.add_argument(
         "--preset",
         type=str,
@@ -88,7 +110,13 @@ def _config_from_args(args, mixup: bool) -> TrainConfig:
     # use_res_units: 2 subunits for the base trainer, 1 for mixup ("works
     # better for mixup", reference mixup_trainer.py:26-42).
     num_res_units = (1 if mixup else 2) if args.use_res_units else 0
+    size_kw = (
+        {"input_size": args.input_size}
+        if getattr(args, "input_size", None)
+        else {}
+    )
     return TrainConfig(
+        **size_kw,
         filters=tuple(args.filters),
         num_res_units=num_res_units,
         downsample=args.downsample,

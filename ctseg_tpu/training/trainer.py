@@ -119,6 +119,16 @@ class Trainer:
     ):
         self.config = config
         self.mesh = mesh
+        # Spatially-partitioned 3D training: a ('data', 'space') mesh shards
+        # volume depth over 'space' (parallel/mesh.py::make_spatial_mesh);
+        # the model pins per-level depth shardings and XLA inserts the conv
+        # halo exchanges. 2D trainers ignore the space axis.
+        self._spatial = (
+            mesh is not None
+            and "space" in mesh.axis_names
+            and mesh.shape["space"] > 1
+            and config.spatial_dims == 3
+        )
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         self.model = SegmentationModel(
             out_channels=NUM_CLASSES,
@@ -133,6 +143,7 @@ class Trainer:
             # itself is also TPU-gated, models/layers.py::PReLU).
             fused_norm_act=config.fused_norm and mesh is None,
             polyphase_up=config.polyphase_up,
+            spatial_mesh=mesh if self._spatial else None,
         )
         self.loss = MultiLoss(
             list(config.loss_fx), exclude_missing=config.exclude_missing
@@ -164,16 +175,26 @@ class Trainer:
         # inject_hyperparams indirection measured ~3.3 ms/step on v5e.
 
         self._batch_sharding = None
+        self._volume_sharding = None
         self._replicated = None
         if mesh is not None:
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._replicated = NamedSharding(mesh, P())
+            if self._spatial:
+                # Raw 3D batch leaves (N, H, W, D[, C]): depth over 'space'.
+                self._volume_sharding = NamedSharding(
+                    mesh, P("data", None, None, "space")
+                )
 
+        # Under spatial sharding the batch tuple mixes per-leaf shardings
+        # (volumes vs per-sample indicator rows), so the jit inherits the
+        # placements shard_batch/init_state established instead of pinning a
+        # single batch sharding here.
         self._train_step = jax.jit(
             self._train_step_impl,
             in_shardings=(
                 (self._replicated, self._batch_sharding, None)
-                if mesh is not None
+                if mesh is not None and not self._spatial
                 else None
             ),
             donate_argnums=(0,),
@@ -182,7 +203,7 @@ class Trainer:
             self._eval_step_impl,
             in_shardings=(
                 (self._replicated, self._batch_sharding)
-                if mesh is not None
+                if mesh is not None and not self._spatial
                 else None
             ),
         )
@@ -357,6 +378,19 @@ class Trainer:
     def shard_batch(self, batch):
         if self._batch_sharding is None:
             return batch
+        if self._volume_sharding is not None:
+            # Spatial 3D: volume-shaped leaves (rank >= 4) additionally shard
+            # depth over 'space'; per-sample rows (indicators, masks) shard
+            # over 'data' only.
+            shardings = jax.tree.map(
+                lambda x: (
+                    self._volume_sharding
+                    if jnp.ndim(x) >= 4
+                    else self._batch_sharding
+                ),
+                batch,
+            )
+            return jax.device_put(batch, shardings)
         return jax.device_put(batch, self._batch_sharding)
 
     def train_epoch(self, state, pipeline, key, logger=None):
@@ -421,33 +455,78 @@ class Trainer:
         checkpoint_every: int = 0,
         callbacks: Optional[list] = None,
     ) -> TrainState:
+        """Train for `epochs`; periodic checkpoints are saved asynchronously
+        (device-side snapshot + worker-thread serialization,
+        training/checkpoint.py::AsyncCheckpointer) so the loop never blocks
+        on the device->host fetch.
+
+        Preemption-safe: SIGTERM (the signal TPU maintenance events and
+        cluster schedulers deliver) finishes the current epoch, saves a
+        resumable checkpoint to `checkpoint_dir`, and returns — `--resume`
+        then continues from it (params/opt/plateau/step all restore)."""
+        import signal as _signal
+
         epochs = epochs or self.config.epochs
         base_key = jax.random.key(self.config.seed)
-        for epoch in range(epochs):
-            key = jax.random.fold_in(base_key, epoch)
-            t0 = time.time()
-            state, train_metrics = self.train_epoch(state, train_pipeline, key, logger)
-            if val_pipeline is not None:
-                val_metrics = self.eval_epoch(
-                    state.params, val_pipeline, "val", logger, step=int(state.step)
+        async_ckpt = ckpt.AsyncCheckpointer() if checkpoint_dir else None
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        prev_handler = None
+        try:
+            prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not the main thread: no signal handling there
+        try:
+            for epoch in range(epochs):
+                key = jax.random.fold_in(base_key, epoch)
+                t0 = time.time()
+                state, train_metrics = self.train_epoch(
+                    state, train_pipeline, key, logger
                 )
-                monitored = val_metrics["val/dice/mean"]
-                plateau, _ = reduce_on_plateau(
-                    state.plateau,
-                    monitored,
-                    mode="max",
-                    factor=self.config.plateau_factor,
-                    patience=self.config.plateau_patience,
-                    threshold=self.config.plateau_threshold,
-                )
-                state = state._replace(plateau=plateau)
-            if logger is not None:
-                logger.log({"epoch": epoch, "epoch_time": time.time() - t0},
-                           step=int(state.step))
-            if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
-                self.save(checkpoint_dir, state)
-            for cb in callbacks or ():
-                cb(self, state, epoch)
+                if val_pipeline is not None:
+                    val_metrics = self.eval_epoch(
+                        state.params, val_pipeline, "val", logger,
+                        step=int(state.step),
+                    )
+                    monitored = val_metrics["val/dice/mean"]
+                    plateau, _ = reduce_on_plateau(
+                        state.plateau,
+                        monitored,
+                        mode="max",
+                        factor=self.config.plateau_factor,
+                        patience=self.config.plateau_patience,
+                        threshold=self.config.plateau_threshold,
+                    )
+                    state = state._replace(plateau=plateau)
+                if logger is not None:
+                    logger.log({"epoch": epoch, "epoch_time": time.time() - t0},
+                               step=int(state.step))
+                if preempted["flag"]:
+                    if checkpoint_dir:
+                        async_ckpt.wait()  # order after any in-flight save
+                        self.save(checkpoint_dir, state)
+                    if logger is not None:
+                        logger.log({"preempted_at_epoch": epoch},
+                                   step=int(state.step))
+                    break
+                if (
+                    checkpoint_dir
+                    and checkpoint_every
+                    and (epoch + 1) % checkpoint_every == 0
+                ):
+                    async_ckpt.save(
+                        checkpoint_dir, state, self.config.as_dict()
+                    )
+                for cb in callbacks or ():
+                    cb(self, state, epoch)
+        finally:
+            if async_ckpt is not None:
+                async_ckpt.wait()
+            if prev_handler is not None:
+                _signal.signal(_signal.SIGTERM, prev_handler)
         return state
 
     # ------------------------------------------------------------ checkpoints

@@ -90,6 +90,9 @@ def run_3d_training(args) -> None:
     train = PackedDataset3D.load(data_dir / "train_packed.npz")
     valid = PackedDataset3D.load(data_dir / "valid_packed.npz")
 
+    resize_shape = tuple(
+        getattr(args, "resize_shape", None) or RESIZE_SHAPE
+    )
     config = TrainConfig(
         filters=tuple(args.filters),
         num_res_units=2,
@@ -101,12 +104,22 @@ def run_3d_training(args) -> None:
         epochs=args.max_epochs,
         seed=args.seed,
         spatial_dims=3,
-        input_shape=RESIZE_SHAPE,
+        input_shape=resize_shape,
         in_channels=1,
         plateau_patience=10_000,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
-    mesh = make_mesh(args.n_devices) if len(jax.devices()) > 1 else None
+    n_space = getattr(args, "spatial_devices", 1)
+    if n_space > 1:
+        from ctseg_tpu.parallel import make_spatial_mesh
+
+        n_dev = args.n_devices or len(jax.devices())
+        assert n_dev % n_space == 0, (
+            f"--n_devices {n_dev} not divisible by --spatial_devices {n_space}"
+        )
+        mesh = make_spatial_mesh(n_dev // n_space, n_space)
+    else:
+        mesh = make_mesh(args.n_devices) if len(jax.devices()) > 1 else None
     trainer = make_trainer_3d(config, mode="resize", mesh=mesh)
     state = trainer.init_state()
 
@@ -119,8 +132,8 @@ def run_3d_training(args) -> None:
     bs = min(config.batch_size, len(valid))
     state = trainer.fit(
         state,
-        DevicePipeline3D(train, config.batch_size),
-        DevicePipeline3D(valid, bs),
+        DevicePipeline3D(train, config.batch_size, shape=resize_shape),
+        DevicePipeline3D(valid, bs, shape=resize_shape),
         logger=logger,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=25 if args.checkpoint_dir else 0,

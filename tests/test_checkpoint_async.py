@@ -1,0 +1,118 @@
+"""Async checkpointing + preemption-safe training.
+
+The reference has neither: Lightning blocks on every save and an interrupted
+run loses everything since the last epoch boundary. Here periodic saves are
+device-snapshotted and serialized off-thread (safe against the train step's
+donated buffers), writes are atomic (tmp+rename), and SIGTERM — what TPU
+maintenance events and cluster schedulers send — finishes the epoch, saves,
+and returns a resumable state.
+"""
+
+import os
+import signal
+
+import jax
+import numpy as np
+
+from ctseg_tpu.data.pipeline import DevicePipeline2D
+from ctseg_tpu.training import checkpoint as ckpt
+from ctseg_tpu.training.trainer import Trainer
+
+from tests.test_e2e_train import _small_config, _synthetic_packed_2d
+
+
+def _tiny(n=16):
+    return _synthetic_packed_2d(np.random.default_rng(11), n=n)
+
+
+def test_async_checkpointer_round_trip(tmp_path):
+    cfg = _small_config()
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ac = ckpt.AsyncCheckpointer()
+    ac.save(tmp_path / "c", state, cfg.as_dict())
+    ac.wait()
+    tr2, state2 = Trainer.restore(tmp_path / "c")
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # atomic write leaves no temp files behind
+    assert not list((tmp_path / "c").glob("*.tmp"))
+
+
+def test_async_save_survives_donated_buffers(tmp_path):
+    """The snapshot must capture the state AS OF the save call even though
+    the next train step donates (invalidates) the live state's buffers."""
+    cfg = _small_config()
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    pipe = DevicePipeline2D(_tiny(), cfg.batch_size)
+    batch = next(pipe.epoch(jax.random.key(0)))
+    state, _ = tr._train_step(state, batch, jax.random.key(1))
+    saved_params = jax.device_get(state.params)
+
+    ac = ckpt.AsyncCheckpointer()
+    ac.save(tmp_path / "c", state, cfg.as_dict())
+    # immediately invalidate `state`'s buffers via donation
+    state2, _ = tr._train_step(state, batch, jax.random.key(2))
+    ac.wait()
+    _, restored = Trainer.restore(tmp_path / "c")
+    for a, b in zip(jax.tree.leaves(saved_params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the checkpoint is NOT the post-donation state
+    assert int(restored.step) == int(jax.device_get(state2.step)) - 1
+
+
+def test_sigterm_preempts_and_saves_resumable(tmp_path):
+    """SIGTERM mid-fit: the current epoch finishes, a checkpoint lands in
+    checkpoint_dir, fit returns early, and --resume semantics restore it."""
+    cfg = _small_config(epochs=50)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    pipe = DevicePipeline2D(_tiny(), cfg.batch_size)
+    fired = {"n": 0}
+
+    def marker_handler(signum, frame):  # pragma: no cover - never invoked
+        raise AssertionError("marker handler must not fire")
+
+    prev = signal.signal(signal.SIGTERM, marker_handler)
+
+    def send_sigterm(trainer, state, epoch):
+        if epoch == 1 and fired["n"] == 0:
+            fired["n"] = 1
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    final = tr.fit(
+        state,
+        pipe,
+        None,
+        epochs=50,
+        checkpoint_dir=str(tmp_path / "run"),
+        checkpoint_every=100,  # periodic saves never fire; only preemption
+        callbacks=[send_sigterm],
+    )
+    steps_per_epoch = len(_tiny()) // cfg.batch_size
+    epochs_run = int(final.step) // steps_per_epoch
+    assert 2 <= epochs_run <= 3, f"expected early stop, ran {epochs_run} epochs"
+    tr2, restored = Trainer.restore(tmp_path / "run")
+    assert int(restored.step) == int(final.step)
+    # fit restored the handler that was installed before it ran
+    assert signal.getsignal(signal.SIGTERM) is marker_handler
+    signal.signal(signal.SIGTERM, prev)
+
+
+def test_periodic_async_saves_in_fit(tmp_path):
+    cfg = _small_config(epochs=4)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    pipe = DevicePipeline2D(_tiny(), cfg.batch_size)
+    final = tr.fit(
+        state,
+        pipe,
+        None,
+        epochs=4,
+        checkpoint_dir=str(tmp_path / "run"),
+        checkpoint_every=2,
+    )
+    _, restored = Trainer.restore(tmp_path / "run")
+    # last periodic save happened at epoch 4 (the final epoch)
+    assert int(restored.step) == int(final.step)
