@@ -242,6 +242,10 @@ def main():
     )
     args = ap.parse_args()
 
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.fast:
         shape, epochs_l, epochs_m, epochs_3d = (24, 96, 96), 2, 1, 1
         filters = (8, 16, 32, 64, 128)
