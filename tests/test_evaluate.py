@@ -269,3 +269,39 @@ def test_evaluate_2d_mesh_matches_single_device(rng):
         [single["per_structure_dice"][s] for s in single["per_structure_dice"]],
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_empty_datasets_raise_clear_errors(rng):
+    """ADVICE r2: empty splits must fail with ValueError, not NameError/
+    IndexError deep in the staging loop."""
+    from ctseg_tpu.inference.evaluate import sliding_window_throughput
+
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=8, transform_degree=1,
+        input_size=32,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    empty2d = PackedDataset2D(
+        images=np.zeros((0, 32, 32), np.float32),
+        labels=np.zeros((0, 32, 32), np.uint8),
+        indicators=np.zeros((0, 9), np.float32),
+    )
+    with pytest.raises(ValueError, match="empty"):
+        evaluate_2d(tr, state.params, empty2d)
+
+    cfg3 = TrainConfig(
+        filters=(2, 4, 8, 16, 32), batch_size=1, loss_fx=("CrossEntropy",),
+        spatial_dims=3, input_shape=(32, 32, 16), in_channels=1,
+    )
+    tr3 = make_trainer_3d(cfg3, mode="patch", patch_size=(32, 32, 16))
+    s3 = tr3.init_state()
+    empty3d = PackedDataset3D([], [], [])
+    with pytest.raises(ValueError, match="empty"):
+        evaluate_3d_sliding_window(
+            tr3, s3.params, empty3d, patch_size=(32, 32, 16)
+        )
+    with pytest.raises(ValueError, match="empty"):
+        sliding_window_throughput(
+            tr3, s3.params, empty3d, patch_size=(32, 32, 16)
+        )
