@@ -13,8 +13,9 @@ flax implementation of that architecture:
     transposed conv, with conv-only output at the top level.
   - Skip connections concatenate along the channel axis.
 
-One code path serves 2D (N,H,W,C) and 3D (N,D,H,W,C) — the reference needed
-a separate volumetric twin stack for 3D (capstone/volumetric/).
+One code path serves 2D (N,H,W,C) and 3D (N,H,W,D,C) — depth is axis 3,
+the convention _constrain_depth's PartitionSpecs rely on — where the
+reference needed a separate volumetric twin stack (capstone/volumetric/).
 """
 
 from typing import Any, Optional, Tuple

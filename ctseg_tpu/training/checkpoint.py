@@ -6,8 +6,10 @@ be rebuilt from the file alone. Format: a directory holding a flax-msgpack
 state pytree plus an hparams JSON — host-portable, dependency-free.
 
 Production hardening beyond the reference:
-  - writes are ATOMIC (tmp file + rename), so a preemption mid-save can
-    never leave a torn checkpoint behind — the previous one survives;
+  - each file write is ATOMIC (tmp file + rename), and the hparams record a
+    digest of the state bytes, so a kill landing between the two renames
+    (possible only when re-targeting a directory with different content)
+    is DETECTED at load instead of deserializing a mixed-generation pair;
   - `AsyncCheckpointer` overlaps periodic saves with training: the state is
     snapshotted on device (cheap HBM copies, safe against the train step's
     buffer donation) and a worker thread does the device->host fetch and
@@ -15,6 +17,7 @@ Production hardening beyond the reference:
     TPU the fetch is the expensive part, so this hides almost all of it.
 """
 
+import hashlib
 import json
 import os
 import threading
@@ -38,22 +41,41 @@ def save_checkpoint(
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     host_state = jax.device_get(state)
+    data = flax.serialization.to_bytes(host_state)
+    # hparams carries the state digest: written FIRST so a kill between the
+    # renames leaves (new hparams, old state), which load_checkpoint rejects.
+    meta = dict(hparams, _state_sha256=hashlib.sha256(data).hexdigest())
     _atomic_write_bytes(
-        path / "state.msgpack", flax.serialization.to_bytes(host_state)
+        path / "hparams.json", json.dumps(meta, indent=2, default=str).encode()
     )
-    _atomic_write_bytes(
-        path / "hparams.json",
-        json.dumps(hparams, indent=2, default=str).encode(),
-    )
+    _atomic_write_bytes(path / "state.msgpack", data)
 
 
 def load_hparams(path: Union[str, Path]) -> Dict[str, Any]:
-    return json.loads((Path(path) / "hparams.json").read_text())
+    d = json.loads((Path(path) / "hparams.json").read_text())
+    d.pop("_state_sha256", None)
+    return d
 
 
 def load_checkpoint(path: Union[str, Path], template_state: Any) -> Any:
-    """Restore a state pytree using `template_state` for structure/shapes."""
-    data = (Path(path) / "state.msgpack").read_bytes()
+    """Restore a state pytree using `template_state` for structure/shapes.
+
+    Rejects mixed-generation directories: if the hparams carry a state
+    digest (every checkpoint written since the digest was introduced) it
+    must match the state bytes on disk."""
+    path = Path(path)
+    data = (path / "state.msgpack").read_bytes()
+    recorded = json.loads((path / "hparams.json").read_text()).get(
+        "_state_sha256"
+    )
+    if recorded is not None:
+        actual = hashlib.sha256(data).hexdigest()
+        if actual != recorded:
+            raise ValueError(
+                f"torn checkpoint at {path}: state.msgpack does not match the "
+                "digest in hparams.json (a save was interrupted between the "
+                "two file writes, or the files come from different runs)"
+            )
     return flax.serialization.from_bytes(template_state, data)
 
 

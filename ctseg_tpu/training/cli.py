@@ -55,7 +55,10 @@ def _add_common_args(parser: ArgumentParser) -> None:
     )
     parser.add_argument("--exclude_missing", action="store_true", default=False)
     parser.add_argument("--use_full_data", action="store_true", default=False)
-    parser.add_argument("--max_epochs", type=int, default=200)
+    # None = "not given": fresh runs default to 200 (the reference's
+    # trainer default); on --resume the checkpoint's total is kept unless
+    # the flag is passed explicitly.
+    parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--seed", type=int, default=EXPERIMENT_SEED)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--data_dir", type=str, default=None)
@@ -103,7 +106,7 @@ def _config_from_args(args, mixup: bool) -> TrainConfig:
 
         return dataclasses.replace(
             PRESETS[args.preset],
-            epochs=args.max_epochs,
+            epochs=args.max_epochs or 200,
             seed=args.seed,
             compute_dtype="bfloat16" if args.bf16 else "float32",
         )
@@ -126,7 +129,7 @@ def _config_from_args(args, mixup: bool) -> TrainConfig:
         loss_fx=tuple(args.loss_fx),
         exclude_missing=args.exclude_missing,
         mixup=mixup,
-        epochs=args.max_epochs,
+        epochs=args.max_epochs or 200,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
@@ -192,16 +195,27 @@ def run_2d(args, mixup: bool) -> None:
         if args.profile
         else contextlib.nullcontext()
     )
-    with profile_ctx:
-        state = trainer.fit(
-            state,
-            train_pipe,
-            val_pipe,
-            logger=logger,
-            checkpoint_dir=args.checkpoint_dir,
-            checkpoint_every=25 if args.checkpoint_dir else 0,
-            callbacks=callbacks,
-        )
+    from ctseg_tpu.training.trainer import Preempted
+
+    try:
+        with profile_ctx:
+            state = trainer.fit(
+                state,
+                train_pipe,
+                val_pipe,
+                epochs=args.max_epochs,  # None -> the config's total
+                logger=logger,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=25 if args.checkpoint_dir else 0,
+                callbacks=callbacks,
+            )
+    except Preempted as p:
+        # Cut short by the scheduler: the resumable checkpoint is already on
+        # disk (fit saved it). Do NOT publish a partial final model or start
+        # a test evaluation inside the termination grace period.
+        print(f"{p} — resume with --resume {args.checkpoint_dir}")
+        logger.close()
+        return
 
     if args.use_full_data:
         # Final model: save + test (reference base_trainer.py:244-246).

@@ -109,6 +109,18 @@ class TrainState(NamedTuple):
     plateau: PlateauState
 
 
+class Preempted(RuntimeError):
+    """Raised by Trainer.fit after a SIGTERM-triggered save: training was cut
+    short. Carries the last state so callers can still use it — but they must
+    not run their 'training finished' tails (publishing the final model,
+    launching test evaluation) during a termination grace period."""
+
+    def __init__(self, state: "TrainState", epoch: int):
+        super().__init__(f"training preempted by SIGTERM at epoch {epoch}")
+        self.state = state
+        self.epoch = epoch
+
+
 class Trainer:
     def __init__(
         self,
@@ -462,11 +474,23 @@ class Trainer:
 
         Preemption-safe: SIGTERM (the signal TPU maintenance events and
         cluster schedulers deliver) finishes the current epoch, saves a
-        resumable checkpoint to `checkpoint_dir`, and returns — `--resume`
-        then continues from it (params/opt/plateau/step all restore)."""
+        resumable checkpoint to `checkpoint_dir`, and raises `Preempted`
+        carrying that state — callers must NOT treat the run as complete
+        (the CLIs catch it and skip their publish/test tails); `--resume`
+        then continues from the checkpoint (params/opt/plateau/step all
+        restore).
+
+        `epochs` is the run's TOTAL, not an increment: a restored state
+        resumes the original schedule at the epoch derived from
+        `state.step` and the pipeline's steps-per-epoch, so the
+        augmentation key sequence continues instead of replaying from
+        epoch 0, and a state that already reached `epochs` trains no
+        further."""
         import signal as _signal
 
         epochs = epochs or self.config.epochs
+        steps_per_epoch = max(1, train_pipeline.num_batches())
+        start_epoch = min(int(state.step) // steps_per_epoch, epochs)
         base_key = jax.random.key(self.config.seed)
         async_ckpt = ckpt.AsyncCheckpointer() if checkpoint_dir else None
         preempted = {"flag": False}
@@ -474,13 +498,15 @@ class Trainer:
         def _on_sigterm(signum, frame):
             preempted["flag"] = True
 
+        handler_installed = False
         prev_handler = None
         try:
             prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
+            handler_installed = True
         except ValueError:
             pass  # not the main thread: no signal handling there
         try:
-            for epoch in range(epochs):
+            for epoch in range(start_epoch, epochs):
                 key = jax.random.fold_in(base_key, epoch)
                 t0 = time.time()
                 state, train_metrics = self.train_epoch(
@@ -511,7 +537,7 @@ class Trainer:
                     if logger is not None:
                         logger.log({"preempted_at_epoch": epoch},
                                    step=int(state.step))
-                    break
+                    raise Preempted(state, epoch)
                 if (
                     checkpoint_dir
                     and checkpoint_every
@@ -523,10 +549,20 @@ class Trainer:
                 for cb in callbacks or ():
                     cb(self, state, epoch)
         finally:
-            if async_ckpt is not None:
-                async_ckpt.wait()
-            if prev_handler is not None:
-                _signal.signal(_signal.SIGTERM, prev_handler)
+            # Handler restoration must not be skipped by a failing wait(),
+            # and a None previous disposition (handler installed by non-
+            # Python code) still needs OUR handler removed.
+            try:
+                if handler_installed:
+                    _signal.signal(
+                        _signal.SIGTERM,
+                        prev_handler
+                        if prev_handler is not None
+                        else _signal.SIG_DFL,
+                    )
+            finally:
+                if async_ckpt is not None:
+                    async_ckpt.wait()
         return state
 
     # ------------------------------------------------------------ checkpoints

@@ -101,7 +101,7 @@ def run_3d_training(args) -> None:
         batch_size=args.batch_size,
         loss_fx=tuple(args.loss_fx),
         exclude_missing=args.exclude_missing,
-        epochs=args.max_epochs,
+        epochs=args.max_epochs or 200,
         seed=args.seed,
         spatial_dims=3,
         input_shape=resize_shape,
@@ -120,8 +120,16 @@ def run_3d_training(args) -> None:
         mesh = make_spatial_mesh(n_dev // n_space, n_space)
     else:
         mesh = make_mesh(args.n_devices) if len(jax.devices()) > 1 else None
-    trainer = make_trainer_3d(config, mode="resize", mesh=mesh)
-    state = trainer.init_state()
+    if getattr(args, "resume", None):
+        # Same resume contract as the 2D CLI (params/opt/plateau/step all
+        # restore; Trainer.__init__ rebuilds the volumetric transforms from
+        # the checkpoint's spatial_dims/volumetric_mode hparams).
+        trainer, state = Trainer.restore(args.resume, mesh=mesh)
+        config = trainer.config
+        resize_shape = tuple(config.input_shape)
+    else:
+        trainer = make_trainer_3d(config, mode="resize", mesh=mesh)
+        state = trainer.init_state()
 
     logger = MetricLogger(
         log_dir=args.checkpoint_dir or "logs",
@@ -129,13 +137,33 @@ def run_3d_training(args) -> None:
         experiment_name=args.experiment_name,
         config=config.as_dict(),
     )
-    bs = min(config.batch_size, len(valid))
-    state = trainer.fit(
-        state,
-        DevicePipeline3D(train, config.batch_size, shape=resize_shape),
-        DevicePipeline3D(valid, bs, shape=resize_shape),
-        logger=logger,
-        checkpoint_dir=args.checkpoint_dir,
-        checkpoint_every=25 if args.checkpoint_dir else 0,
+    # Usable batch sizes: <= split size and divisible by the mesh's data
+    # axis (batches shard over 'data' only; 'space' shards volume depth).
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    assert len(train) >= n_data and len(valid) >= n_data, (
+        "split smaller than the mesh's data axis"
     )
+
+    def _bs(requested, n_items):
+        b = min(requested, n_items)
+        return max((b // n_data) * n_data, n_data)
+
+    from ctseg_tpu.training.trainer import Preempted
+
+    try:
+        state = trainer.fit(
+            state,
+            DevicePipeline3D(
+                train, _bs(config.batch_size, len(train)), shape=resize_shape
+            ),
+            DevicePipeline3D(
+                valid, _bs(config.batch_size, len(valid)), shape=resize_shape
+            ),
+            epochs=args.max_epochs,  # None -> the config's total
+            logger=logger,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=25 if args.checkpoint_dir else 0,
+        )
+    except Preempted as p:
+        print(f"{p} — resume with --resume {args.checkpoint_dir}")
     logger.close()

@@ -64,7 +64,12 @@ def test_async_save_survives_donated_buffers(tmp_path):
 
 def test_sigterm_preempts_and_saves_resumable(tmp_path):
     """SIGTERM mid-fit: the current epoch finishes, a checkpoint lands in
-    checkpoint_dir, fit returns early, and --resume semantics restore it."""
+    checkpoint_dir, fit raises Preempted (callers must not run their
+    'training finished' tails), and --resume semantics restore it."""
+    import pytest
+
+    from ctseg_tpu.training.trainer import Preempted
+
     cfg = _small_config(epochs=50)
     tr = Trainer(cfg)
     state = tr.init_state()
@@ -81,15 +86,17 @@ def test_sigterm_preempts_and_saves_resumable(tmp_path):
             fired["n"] = 1
             os.kill(os.getpid(), signal.SIGTERM)
 
-    final = tr.fit(
-        state,
-        pipe,
-        None,
-        epochs=50,
-        checkpoint_dir=str(tmp_path / "run"),
-        checkpoint_every=100,  # periodic saves never fire; only preemption
-        callbacks=[send_sigterm],
-    )
+    with pytest.raises(Preempted) as excinfo:
+        tr.fit(
+            state,
+            pipe,
+            None,
+            epochs=50,
+            checkpoint_dir=str(tmp_path / "run"),
+            checkpoint_every=100,  # periodic saves never fire; only preemption
+            callbacks=[send_sigterm],
+        )
+    final = excinfo.value.state
     steps_per_epoch = len(_tiny()) // cfg.batch_size
     epochs_run = int(final.step) // steps_per_epoch
     assert 2 <= epochs_run <= 3, f"expected early stop, ran {epochs_run} epochs"
@@ -98,6 +105,22 @@ def test_sigterm_preempts_and_saves_resumable(tmp_path):
     # fit restored the handler that was installed before it ran
     assert signal.getsignal(signal.SIGTERM) is marker_handler
     signal.signal(signal.SIGTERM, prev)
+
+
+def test_torn_checkpoint_detected(tmp_path):
+    """A state.msgpack that does not match the hparams digest (interrupted
+    between the two file writes, or files from different runs) is rejected
+    with a clear error instead of deserializing garbage."""
+    import pytest
+
+    cfg = _small_config()
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    tr.save(tmp_path / "c", state)
+    blob = (tmp_path / "c" / "state.msgpack").read_bytes()
+    (tmp_path / "c" / "state.msgpack").write_bytes(blob + b"x")
+    with pytest.raises(ValueError, match="torn checkpoint"):
+        Trainer.restore(tmp_path / "c")
 
 
 def test_periodic_async_saves_in_fit(tmp_path):

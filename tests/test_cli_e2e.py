@@ -154,3 +154,69 @@ def test_parity_report_from_released_missing_file(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         parity_report.resolve_released(str(tmp_path), "model_l", tmp_path)
+
+
+def test_cli_train3d_resume(tmp_path):
+    """train_3d --resume continues from a checkpoint (the preemption-resume
+    contract): the first epoch logged after resume starts from the restored
+    step, not from zero."""
+    from ctseg_tpu.data.datasets import PackedDataset3D
+    from ctseg_tpu.volumetric import trainer3d
+    from ctseg_tpu.volumetric.pipeline3d import DevicePipeline3D
+
+    rng = np.random.default_rng(5)
+    shape = (12, 48, 48)
+    for split, n in (("train", 4), ("valid", 2)):
+        images = [rng.normal(40, 200, size=shape).astype(np.float32)
+                  for _ in range(n)]
+        labels = [rng.integers(0, 10, size=shape).astype(np.uint8)
+                  for _ in range(n)]
+        inds = [np.ones(9, np.float32) for _ in range(n)]
+        PackedDataset3D(images, labels, inds).save(
+            tmp_path / "d3" / f"{split}_packed.npz"
+        )
+
+    resize = (32, 32, 16)
+    args = SimpleNamespace(
+        filters=[2, 4, 8, 16, 32], lr=1e-3, batch_size=2,
+        loss_fx=["CrossEntropy"], exclude_missing=False, max_epochs=2,
+        seed=0, bf16=False, data_dir=str(tmp_path / "d3"),
+        checkpoint_dir=str(tmp_path / "run3d"), use_wandb=False,
+        experiment_name="t", n_devices=2, spatial_devices=1,
+        resize_shape=list(resize), resume=None, use_full_data=False,
+    )
+
+    # simulate a preempted earlier run: a saved state at step 3
+    from ctseg_tpu.training.trainer import TrainConfig
+
+    cfg = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=2, transform_degree=0,
+        batch_size=2, loss_fx=("CrossEntropy",), spatial_dims=3,
+        input_shape=resize, in_channels=1, plateau_patience=10_000, seed=0,
+    )
+    tr = trainer3d.make_trainer_3d(cfg, mode="resize")
+    state = tr.init_state()
+    import jax
+
+    pipe = DevicePipeline3D(
+        PackedDataset3D.load(tmp_path / "d3" / "train_packed.npz"), 2,
+        shape=resize,
+    )
+    for batch in pipe.epoch(jax.random.key(0)):
+        state, _ = tr._train_step(state, batch, jax.random.key(1))
+    saved_step = int(state.step)
+    assert saved_step > 0
+    tr.save(tmp_path / "ckpt3d", state)
+
+    args.resume = str(tmp_path / "ckpt3d")
+    trainer3d.run_3d_training(args)
+    metrics = [
+        json.loads(l)
+        for l in (tmp_path / "run3d" / "metrics.jsonl").read_text().splitlines()
+    ]
+    train_steps = [m["step"] for m in metrics if "train/loss/total" in m
+                   or "train/loss/CrossEntropy" in m]
+    assert train_steps and min(train_steps) > saved_step
+    # epochs are a TOTAL: 1 epoch done before the save + max_epochs=2 means
+    # exactly ONE more epoch (2 steps) runs after resume, not two.
+    assert max(train_steps) == 2 * saved_step
