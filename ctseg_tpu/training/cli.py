@@ -38,7 +38,9 @@ def _add_common_args(parser: ArgumentParser) -> None:
         help="Augmentation pipeline degree (see transforms/pipelines.py).",
     )
     parser.add_argument(
-        "--filters", nargs=5, type=int, default=[64, 128, 256, 512, 1024]
+        # the reference pins 5 levels (models/__init__.py:3); strides derive
+        # from the filter count here, so any depth >= 2 is a valid UNet
+        "--filters", nargs="+", type=int, default=[64, 128, 256, 512, 1024]
     )
     parser.add_argument("--use_res_units", action="store_true", default=False)
     parser.add_argument("--downsample", action="store_true", default=False)
@@ -80,6 +82,29 @@ def _add_common_args(parser: ArgumentParser) -> None:
         default=None,
         help="train_3d: (H, W, D) volume grid (default: the reference's "
         "256 256 96, volumetric/transforms.py:19).",
+    )
+    parser.add_argument(
+        "--volumetric_mode",
+        type=str,
+        default="resize",
+        choices=["resize", "patch"],
+        help="train_3d: 'resize' = the reference's whole-volume parity mode "
+        "(nearest-resize to --resize_shape); 'patch' = native-resolution "
+        "random-patch training (soft-tissue windowing + flips, "
+        "PatchPipeline3D) — the north-star configuration.",
+    )
+    parser.add_argument(
+        "--patch_size",
+        nargs=3,
+        type=int,
+        default=None,
+        help="train_3d patch mode: (H, W, D) patch (default 128 128 48).",
+    )
+    parser.add_argument(
+        "--steps_per_epoch",
+        type=int,
+        default=100,
+        help="train_3d patch mode: random-patch batches per epoch.",
     )
     parser.add_argument(
         "--preset",

@@ -145,6 +145,10 @@ class Trainer:
         self.model = SegmentationModel(
             out_channels=NUM_CLASSES,
             channels=tuple(config.filters),
+            # one stride-2 stage between consecutive filter levels, matching
+            # MONAI's UNet contract for any depth (reference models/__init__.py:3
+            # hardcodes 5 levels; --filters here may be shorter or longer)
+            strides=(2,) * (len(config.filters) - 1),
             num_res_units=config.num_res_units,
             downsample=config.downsample,
             dtype=dtype,

@@ -99,10 +99,12 @@ class PatchPipeline3D:
         batch_size: int,
         patch_size: Tuple[int, int, int] = (128, 128, 48),  # (H, W, D)
         sharding: Optional[jax.sharding.Sharding] = None,
+        steps_per_epoch: int = 100,
     ):
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.size = len(dataset)
+        self.steps_per_epoch = steps_per_epoch
 
         shapes = np.array([img.shape for img in dataset.images])  # (N, 3) DHW
         self.max_d = int(shapes[:, 0].max())
@@ -164,15 +166,19 @@ class PatchPipeline3D:
             self.images, self.labels, self.depths, self.indicators, key
         )
 
-    def num_batches(self, steps_per_epoch: int = 100) -> int:
-        return steps_per_epoch
+    def num_batches(self, steps_per_epoch: Optional[int] = None) -> int:
+        return steps_per_epoch or self.steps_per_epoch
 
-    def epoch(self, key: Optional[jax.Array], steps: int = 100) -> Iterator:
+    def epoch(
+        self, key: Optional[jax.Array], steps: Optional[int] = None
+    ) -> Iterator:
         key = key if key is not None else jax.random.key(0)
-        for s in range(steps):
+        for s in range(steps or self.steps_per_epoch):
             yield self._sample(jax.random.fold_in(key, s))
 
-    def padded_epoch(self, key: Optional[jax.Array] = None, steps: int = 100) -> Iterator:
+    def padded_epoch(
+        self, key: Optional[jax.Array] = None, steps: Optional[int] = None
+    ) -> Iterator:
         """Patch sampling has no notion of 'coverage'; every random patch is
         a real sample, so row_valid is all-ones (eval_epoch compatibility)."""
         valid = jnp.ones((self.batch_size,), bool)

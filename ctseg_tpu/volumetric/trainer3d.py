@@ -90,6 +90,8 @@ def run_3d_training(args) -> None:
     train = PackedDataset3D.load(data_dir / "train_packed.npz")
     valid = PackedDataset3D.load(data_dir / "valid_packed.npz")
 
+    mode = getattr(args, "volumetric_mode", None) or "resize"
+    patch_size = tuple(getattr(args, "patch_size", None) or (128, 128, 48))
     resize_shape = tuple(
         getattr(args, "resize_shape", None) or RESIZE_SHAPE
     )
@@ -104,7 +106,7 @@ def run_3d_training(args) -> None:
         epochs=args.max_epochs or 200,
         seed=args.seed,
         spatial_dims=3,
-        input_shape=resize_shape,
+        input_shape=patch_size if mode == "patch" else resize_shape,
         in_channels=1,
         plateau_patience=10_000,
         compute_dtype="bfloat16" if args.bf16 else "float32",
@@ -126,10 +128,13 @@ def run_3d_training(args) -> None:
         # the checkpoint's spatial_dims/volumetric_mode hparams).
         trainer, state = Trainer.restore(args.resume, mesh=mesh)
         config = trainer.config
-        resize_shape = tuple(config.input_shape)
+        mode = config.volumetric_mode or "resize"
     else:
-        trainer = make_trainer_3d(config, mode="resize", mesh=mesh)
+        trainer = make_trainer_3d(
+            config, mode=mode, patch_size=patch_size, mesh=mesh
+        )
         state = trainer.init_state()
+    input_shape = tuple(config.input_shape)  # patch or resize grid
 
     logger = MetricLogger(
         log_dir=args.checkpoint_dir or "logs",
@@ -137,28 +142,46 @@ def run_3d_training(args) -> None:
         experiment_name=args.experiment_name,
         config=config.as_dict(),
     )
-    # Usable batch sizes: <= split size and divisible by the mesh's data
-    # axis (batches shard over 'data' only; 'space' shards volume depth).
+    # Usable batch sizes: divisible by the mesh's data axis (batches shard
+    # over 'data' only; 'space' shards volume depth). Resize mode is
+    # additionally bounded by the split size; patch mode samples patches
+    # with replacement, so only divisibility applies.
     n_data = mesh.shape["data"] if mesh is not None else 1
-    assert len(train) >= n_data and len(valid) >= n_data, (
-        "split smaller than the mesh's data axis"
-    )
 
-    def _bs(requested, n_items):
-        b = min(requested, n_items)
-        return max((b // n_data) * n_data, n_data)
+    if mode == "patch":
+        from ctseg_tpu.volumetric.pipeline3d import PatchPipeline3D
+
+        bs = max((config.batch_size // n_data) * n_data, n_data)
+        steps = getattr(args, "steps_per_epoch", None) or 100
+        train_pipe = PatchPipeline3D(
+            train, bs, patch_size=input_shape, steps_per_epoch=steps
+        )
+        val_pipe = PatchPipeline3D(
+            valid, bs, patch_size=input_shape, steps_per_epoch=steps
+        )
+    else:
+        assert len(train) >= n_data and len(valid) >= n_data, (
+            "split smaller than the mesh's data axis"
+        )
+
+        def _bs(requested, n_items):
+            b = min(requested, n_items)
+            return max((b // n_data) * n_data, n_data)
+
+        train_pipe = DevicePipeline3D(
+            train, _bs(config.batch_size, len(train)), shape=input_shape
+        )
+        val_pipe = DevicePipeline3D(
+            valid, _bs(config.batch_size, len(valid)), shape=input_shape
+        )
 
     from ctseg_tpu.training.trainer import Preempted
 
     try:
         state = trainer.fit(
             state,
-            DevicePipeline3D(
-                train, _bs(config.batch_size, len(train)), shape=resize_shape
-            ),
-            DevicePipeline3D(
-                valid, _bs(config.batch_size, len(valid)), shape=resize_shape
-            ),
+            train_pipe,
+            val_pipe,
             epochs=args.max_epochs,  # None -> the config's total
             logger=logger,
             checkpoint_dir=args.checkpoint_dir,

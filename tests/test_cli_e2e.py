@@ -220,3 +220,63 @@ def test_cli_train3d_resume(tmp_path):
     # epochs are a TOTAL: 1 epoch done before the save + max_epochs=2 means
     # exactly ONE more epoch (2 steps) runs after resume, not two.
     assert max(train_steps) == 2 * saved_step
+
+
+def test_cli_train3d_patch_mode(tmp_path):
+    """train_3d --volumetric_mode patch drives the north-star configuration
+    (native-resolution random patches, windowing + flips) end to end: train
+    steps run, metrics land, and the checkpoint restores as a patch-mode
+    trainer usable for sliding-window inference."""
+    from ctseg_tpu.data.datasets import PackedDataset3D
+    from ctseg_tpu.training.trainer import Trainer
+    from ctseg_tpu.volumetric import trainer3d
+
+    rng = np.random.default_rng(7)
+    for split, n in (("train", 3), ("valid", 2)):
+        # non-uniform depths exercise the depth-padded patch sampler
+        images = [rng.normal(40, 200, size=(10 + 2 * i, 48, 48)).astype(
+            np.float32) for i in range(n)]
+        labels = [rng.integers(0, 10, size=img.shape).astype(np.uint8)
+                  for img in images]
+        inds = [np.ones(9, np.float32) for _ in range(n)]
+        PackedDataset3D(images, labels, inds).save(
+            tmp_path / "d3" / f"{split}_packed.npz"
+        )
+
+    args = SimpleNamespace(
+        filters=[2, 4, 8, 16], lr=1e-3, batch_size=2,
+        loss_fx=["Focal", "Dice"], exclude_missing=False, max_epochs=2,
+        seed=0, bf16=False, data_dir=str(tmp_path / "d3"),
+        checkpoint_dir=str(tmp_path / "runp"), use_wandb=False,
+        experiment_name="t", n_devices=2, spatial_devices=1,
+        resize_shape=None, resume=None, use_full_data=False,
+        volumetric_mode="patch", patch_size=[32, 32, 8], steps_per_epoch=3,
+    )
+    trainer3d.run_3d_training(args)
+
+    metrics = [
+        json.loads(l)
+        for l in (tmp_path / "runp" / "metrics.jsonl").read_text().splitlines()
+    ]
+    train_rows = [m for m in metrics if "train/loss/total" in m]
+    val_rows = [m for m in metrics if "val/dice/mean" in m]
+    # 2 epochs x 3 patch steps
+    assert [m["step"] for m in train_rows] == [3, 6]
+    assert len(val_rows) == 2
+
+    # periodic saves never fired (epoch 25 cadence); save+restore the
+    # patch-mode trainer explicitly and check the mode round-trips.
+    cfg_path = tmp_path / "ckptp"
+    tr = trainer3d.make_trainer_3d(
+        trainer3d.TrainConfig(
+            filters=(2, 4, 8, 16), num_res_units=2, transform_degree=0,
+            batch_size=2, loss_fx=("Focal", "Dice"), spatial_dims=3,
+            input_shape=(32, 32, 8), in_channels=1, plateau_patience=10_000,
+            volumetric_mode="patch",
+        ),
+        mode="patch", patch_size=(32, 32, 8),
+    )
+    tr.save(cfg_path, tr.init_state())
+    restored, _ = Trainer.restore(cfg_path)
+    assert restored.config.volumetric_mode == "patch"
+    assert tuple(restored.config.input_shape) == (32, 32, 8)
