@@ -1,0 +1,130 @@
+"""Segmentation server: warm checkpoint, NRRD in -> segmentation NRRD out.
+
+End-to-end over real HTTP on a loopback port: the served label map must be
+identical to a direct predict_scan call with the same checkpoint, and the
+server must stay up across bad requests. The reference has no serving
+surface (its inference only logs W&B overlays,
+capstone/interpretability.py:80-83)."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from ctseg_tpu.inference.predict import predict_scan
+from ctseg_tpu.inference.serve import SegmentationService, serve
+from ctseg_tpu.testing.synth import make_patient
+from ctseg_tpu.training.trainer import TrainConfig, Trainer
+from ctseg_tpu.utils import nrrd_io
+from ctseg_tpu.utils.miccai import Volume
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=4, transform_degree=1,
+        input_size=32,
+    )
+    tr = Trainer(cfg)
+    tr.save(root / "ckpt", tr.init_state())
+    return root / "ckpt"
+
+
+@pytest.fixture(scope="module")
+def patient(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scans")
+    return make_patient(root / "0522c0001", shape=(12, 48, 48), seed=3)
+
+
+@pytest.fixture(scope="module")
+def server(checkpoint):
+    service = SegmentationService(checkpoint, crop=False)
+    httpd = serve(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield service, httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    payload = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), payload
+
+
+def test_healthz(server):
+    service, port = server
+    status, ctype, payload = _request(port, "GET", "/healthz")
+    assert status == 200 and ctype == "application/json"
+    info = json.loads(payload)
+    assert info["status"] == "ok"
+    assert info["spatial_dims"] == 2
+    assert info["filters"] == [4, 8, 16, 32, 64]
+
+
+def test_segment_matches_direct_prediction(server, patient, tmp_path):
+    service, port = server
+    scan_bytes = (patient / "img.nrrd").read_bytes()
+    status, ctype, payload = _request(port, "POST", "/segment", scan_bytes)
+    assert status == 200 and ctype == "application/octet-stream"
+
+    out = tmp_path / "segmentation.nrrd"
+    out.write_bytes(payload)
+    served_hwd, header = nrrd_io.read(out)
+    served = np.transpose(served_hwd, (2, 0, 1))  # (D, H, W)
+
+    volume = Volume.from_nrrd(patient / "img.nrrd")
+    direct = predict_scan(
+        service.trainer, service._state.params, volume, crop=False
+    )
+    assert served.shape == direct.shape
+    np.testing.assert_array_equal(served, direct)
+    # Space metadata survives the round trip (predict.write_artifacts).
+    assert "space directions" in header
+
+
+def test_segment_counts_mode(server, patient):
+    service, port = server
+    scan_bytes = (patient / "img.nrrd").read_bytes()
+    status, ctype, payload = _request(
+        port, "POST", "/segment?counts=1", scan_bytes
+    )
+    assert status == 200 and ctype == "application/json"
+    body = json.loads(payload)
+    assert body["shape"] == [12, 48, 48]
+    assert set(body["voxel_counts"]) == {
+        "BrainStem", "Chiasm", "Mandible", "OpticNerve_L", "OpticNerve_R",
+        "Parotid_L", "Parotid_R", "Submandibular_L", "Submandibular_R",
+    }
+
+
+def test_bad_requests_do_not_kill_the_server(server, patient):
+    service, port = server
+    status, _, payload = _request(port, "POST", "/segment", b"not an nrrd")
+    assert status == 400
+    assert "error" in json.loads(payload)
+
+    status, _, _ = _request(port, "POST", "/segment", b"")
+    assert status == 400
+
+    status, _, _ = _request(port, "GET", "/nope")
+    assert status == 404
+
+    # Still serving after the errors.
+    status, _, _ = _request(port, "GET", "/healthz")
+    assert status == 200
+
+
+def test_warmup_marks_shape_and_does_not_count_as_served(checkpoint):
+    service = SegmentationService(checkpoint, crop=False)
+    before = service.served
+    secs = service.warmup((8, 40, 40))
+    assert secs > 0
+    assert service.served == before
+    assert (8, 40, 40) in service.warm_shapes
