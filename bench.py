@@ -109,6 +109,10 @@ def _time(fn, *args, steps=TIMED_STEPS):
 
 
 def main():
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ctseg_tpu.data.datasets import PackedDataset2D
     from ctseg_tpu.data.pipeline import DevicePipeline2D
     from ctseg_tpu.training.trainer import TrainConfig, Trainer

@@ -1,0 +1,129 @@
+"""StableHLO inference export: roundtrip exactness and portability.
+
+The exported artifact must (a) reproduce the production prediction path
+bit-for-bit on the same platform, (b) accept any batch size through its
+symbolic batch dim, (c) deserialize and run with NOTHING from ctseg_tpu
+(pure jax), and (d) carry an inspectable sidecar. Contracts in
+ctseg_tpu/inference/export.py; production path in inference/predict.py.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctseg_tpu.inference.export import (
+    export_checkpoint,
+    export_patch_model,
+    export_slice_model,
+    load_exported,
+    save_exported,
+)
+from ctseg_tpu.inference.predict import predict_labels_2d
+from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def trainer2d():
+    cfg = TrainConfig(filters=(4, 8), num_res_units=1, input_size=32,
+                      transform_degree=0)
+    tr = Trainer(cfg)
+    return tr, tr.init_state()
+
+
+def test_slice_export_matches_predict(trainer2d, tmp_path):
+    tr, state = trainer2d
+    rng = np.random.default_rng(0)
+    vol = rng.normal(40, 300, size=(5, 48, 48)).astype(np.float32)
+
+    exported = export_slice_model(tr, state.params, slice_shape=(48, 48),
+                                  platforms=("cpu",))
+    path = save_exported(exported, tmp_path / "m.stablehlo",
+                         config=tr.config.as_dict())
+    fn = load_exported(path)
+
+    got = np.asarray(fn(jnp.asarray(vol)))
+    want = predict_labels_2d(tr, state.params, vol, batch_size=5)
+    assert got.dtype == np.uint8 and got.shape == (5, 48, 48)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_symbolic_batch(trainer2d, tmp_path):
+    tr, state = trainer2d
+    exported = export_slice_model(tr, state.params, slice_shape=(48, 48),
+                                  platforms=("cpu",))
+    fn = load_exported(save_exported(exported, tmp_path / "m.stablehlo"))
+    for b in (1, 3, 7):
+        out = fn(jnp.zeros((b, 48, 48), jnp.float32))
+        assert out.shape == (b, 48, 48)
+
+
+def test_loader_needs_only_jax(trainer2d, tmp_path):
+    """Deserialize + run in a subprocess that cannot import ctseg_tpu."""
+    tr, state = trainer2d
+    exported = export_slice_model(tr, state.params, slice_shape=(48, 48),
+                                  platforms=("cpu",))
+    path = save_exported(exported, tmp_path / "m.stablehlo")
+    code = f"""
+import sys
+sys.modules["ctseg_tpu"] = None  # any import attempt raises
+from pathlib import Path
+import jax, jax.numpy as jnp
+exported = jax.export.deserialize(Path({str(path)!r}).read_bytes())
+out = jax.jit(exported.call)(jnp.zeros((2, 48, 48), jnp.float32))
+assert out.shape == (2, 48, 48) and out.dtype == jnp.uint8, out
+print("portable-ok")
+"""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "portable-ok" in r.stdout
+
+
+def test_patch_export_matches_model(tmp_path):
+    from ctseg_tpu.transforms.windowing import apply_window
+
+    cfg = TrainConfig(filters=(4, 8), num_res_units=1, spatial_dims=3,
+                      input_shape=(16, 16, 8), volumetric_mode="patch")
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    exported = export_patch_model(tr, state.params, patch_size=(16, 16, 8),
+                                  platforms=("cpu",))
+    fn = load_exported(save_exported(exported, tmp_path / "m3.stablehlo"))
+
+    rng = np.random.default_rng(1)
+    patches = rng.normal(40, 300, size=(2, 16, 16, 8)).astype(np.float32)
+    got = np.asarray(fn(jnp.asarray(patches)))
+    want = np.asarray(tr.model.apply(
+        state.params,
+        apply_window(jnp.asarray(patches)[..., None], 350, 20, shift=True),
+    ))
+    assert got.shape == (2, 16, 16, 8, 10)
+    # f32 compute on both sides; the export lowering may reassociate
+    # reductions, so exactness is bitwise only per-platform-schedule.
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_export_cli_and_sidecar(trainer2d, tmp_path):
+    tr, state = trainer2d
+    ckpt = tmp_path / "ckpt"
+    tr.save(ckpt, state)
+    out = tmp_path / "cli.stablehlo"
+    from ctseg_tpu.inference.export import main
+
+    main(["--checkpoint", str(ckpt), "--out", str(out),
+          "--slice_shape", "48", "48", "--platforms", "cpu"])
+    assert out.exists()
+    meta = json.loads(Path(str(out) + ".json").read_text())
+    assert meta["platforms"] == ["cpu"]
+    assert meta["config"]["filters"] == [4, 8]
+    assert "b" in meta["in_avals"][0]  # symbolic batch recorded
+
+    fn = load_exported(out)
+    assert fn(jnp.zeros((2, 48, 48), jnp.float32)).shape == (2, 48, 48)
