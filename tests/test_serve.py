@@ -121,6 +121,46 @@ def test_bad_requests_do_not_kill_the_server(server, patient):
     assert status == 200
 
 
+def test_concurrent_clients(server, patient, tmp_path):
+    """8 simultaneous clients: device work serialized, all replies correct.
+
+    The ThreadingHTTPServer takes one thread per connection; the service
+    lock must keep results request-isolated (no cross-talk between the
+    counts and NRRD paths) under real concurrency."""
+    service, port = server
+    scan_bytes = (patient / "img.nrrd").read_bytes()
+    before = service.served
+    results = [None] * 8
+    errors = []
+
+    def hit(i):
+        try:
+            path = "/segment?counts=1" if i % 2 else "/segment"
+            results[i] = _request(port, "POST", path, scan_bytes)
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert all(r is not None and r[0] == 200 for r in results)
+    counts = [json.loads(r[2]) for i, r in enumerate(results) if i % 2]
+    nrrds = [r[2] for i, r in enumerate(results) if not i % 2]
+    # Identical input -> identical output on every thread. NRRD payloads
+    # are compared decoded (the gzip stream embeds a timestamp).
+    assert all(c == counts[0] for c in counts)
+    decoded = []
+    for payload in nrrds:
+        f = tmp_path / f"{len(decoded)}.nrrd"
+        f.write_bytes(payload)
+        decoded.append(nrrd_io.read(f)[0])
+    assert all(np.array_equal(d, decoded[0]) for d in decoded)
+    assert service.served == before + 8
+
+
 def test_warmup_marks_shape_and_does_not_count_as_served(checkpoint):
     service = SegmentationService(checkpoint, crop=False)
     before = service.served
