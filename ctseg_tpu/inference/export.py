@@ -48,11 +48,28 @@ from ctseg_tpu.training.trainer import Trainer
 DEFAULT_PLATFORMS = ("cpu", "tpu")
 
 
+def _model_for_dtype(trainer: Trainer, infer_dtype: Optional[str]):
+    """The trainer's model, optionally recast to an inference compute dtype.
+
+    Params stay float32 (param_dtype is untouched); flax casts activations
+    per layer, exactly like training with --bf16. Measured on v5e: the
+    Model L artifact runs 483 ms/batch-32 exported at float32 vs 11.7 ms at
+    bfloat16 (41x) — an f32-trained checkpoint should usually be exported
+    with infer_dtype='bfloat16' for TPU serving.
+    """
+    if infer_dtype is None or infer_dtype == "checkpoint":
+        return trainer.model
+    return trainer.model.clone(
+        dtype=jnp.bfloat16 if infer_dtype == "bfloat16" else jnp.float32
+    )
+
+
 def export_slice_model(
     trainer: Trainer,
     params,
     slice_shape: Tuple[int, int] = (280, 280),
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    infer_dtype: Optional[str] = None,
 ) -> "jax.export.Exported":
     """Export a 2D checkpoint as f(f32[b, H, W] raw HU) -> u8[b, H, W].
 
@@ -65,6 +82,7 @@ def export_slice_model(
         raise ValueError("export_slice_model needs a 2D checkpoint")
     h, w = slice_shape
     key = jax.random.key(0)  # test transform is deterministic
+    model = _model_for_dtype(trainer, infer_dtype)
 
     def infer(slices):
         def one(img):
@@ -72,7 +90,7 @@ def export_slice_model(
             return out
 
         imgs = jax.vmap(one)(slices)
-        preds = squash_predictions(trainer.model.apply(params, imgs))
+        preds = squash_predictions(model.apply(params, imgs))
         preds = jax.image.resize(preds, (preds.shape[0], h, w), "nearest")
         return preds.astype(jnp.uint8)
 
@@ -86,6 +104,7 @@ def export_patch_model(
     params,
     patch_size: Tuple[int, int, int] = (128, 128, 48),
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    infer_dtype: Optional[str] = None,
 ) -> "jax.export.Exported":
     """Export a 3D checkpoint as f(f32[b, ph, pw, pd] raw HU) -> logits.
 
@@ -98,10 +117,11 @@ def export_patch_model(
     from ctseg_tpu.transforms.windowing import apply_window
 
     ph, pw, pd = patch_size
+    model = _model_for_dtype(trainer, infer_dtype)
 
     def infer(patches):
         vol = apply_window(patches[..., None].astype(jnp.float32), 350, 20, shift=True)
-        return trainer.model.apply(params, vol)
+        return model.apply(params, vol)
 
     (b,) = jax.export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, ph, pw, pd), jnp.float32)
@@ -137,18 +157,22 @@ def export_checkpoint(
     slice_shape: Tuple[int, int] = (280, 280),
     patch_size: Tuple[int, int, int] = (128, 128, 48),
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    infer_dtype: Optional[str] = None,
 ) -> Path:
     """Restore `checkpoint`, export its inference fn (2D/3D auto), save."""
     trainer, state = Trainer.restore(checkpoint)
     if trainer.config.spatial_dims == 3:
         exported = export_patch_model(
-            trainer, state.params, patch_size=patch_size, platforms=platforms
+            trainer, state.params, patch_size=patch_size, platforms=platforms,
+            infer_dtype=infer_dtype,
         )
     else:
         exported = export_slice_model(
-            trainer, state.params, slice_shape=slice_shape, platforms=platforms
+            trainer, state.params, slice_shape=slice_shape, platforms=platforms,
+            infer_dtype=infer_dtype,
         )
-    return save_exported(exported, out, config=trainer.config.as_dict())
+    config = dict(trainer.config.as_dict(), _exported_infer_dtype=infer_dtype)
+    return save_exported(exported, out, config=config)
 
 
 def main(argv: Optional[Sequence[str]] = None):
@@ -165,10 +189,17 @@ def main(argv: Optional[Sequence[str]] = None):
         "--platforms", nargs="+", default=list(DEFAULT_PLATFORMS),
         help="lowering targets (default: cpu tpu)",
     )
+    parser.add_argument(
+        "--infer_dtype", choices=("checkpoint", "float32", "bfloat16"),
+        default="checkpoint",
+        help="activation compute dtype baked into the artifact; bfloat16 is "
+        "41x faster on v5e than a float32 export of Model L (measured)",
+    )
     args = parser.parse_args(argv)
     path = export_checkpoint(
         args.checkpoint, args.out, slice_shape=tuple(args.slice_shape),
         patch_size=tuple(args.patch_size), platforms=tuple(args.platforms),
+        infer_dtype=None if args.infer_dtype == "checkpoint" else args.infer_dtype,
     )
     print(f"wrote {path} (+{path}.json)")
 

@@ -110,6 +110,43 @@ def test_patch_export_matches_model(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_infer_dtype_override(trainer2d, tmp_path):
+    """infer_dtype='bfloat16' bakes a bf16 compute path (params stay f32).
+
+    The lowered module must carry bf16 convolutions, and the labels must
+    agree with the bf16-cloned model except at bf16 argmax near-ties
+    (random-init logits are nearly uniform, so exact equality across two
+    different lowerings of the same bf16 graph is not a stable contract)."""
+    import jax.numpy as jnp2
+
+    tr, state = trainer2d
+    exported = export_slice_model(tr, state.params, slice_shape=(48, 48),
+                                  platforms=("cpu",), infer_dtype="bfloat16")
+    assert "bf16" in exported.mlir_module()
+    f32_only = export_slice_model(tr, state.params, slice_shape=(48, 48),
+                                  platforms=("cpu",))
+    assert "bf16" not in f32_only.mlir_module()
+
+    fn = load_exported(save_exported(exported, tmp_path / "bf16.stablehlo"))
+    rng = np.random.default_rng(2)
+    vol = jnp.asarray(rng.normal(40, 300, size=(3, 48, 48)), jnp.float32)
+    got = np.asarray(fn(vol))
+
+    model_bf16 = tr.model.clone(dtype=jnp2.bfloat16)
+    key = jax.random.key(0)
+
+    def one(img):
+        out, _ = tr.test_transform(key, img, jnp.zeros(img.shape, jnp.int32))
+        return out
+
+    imgs = jax.vmap(one)(vol)
+    logits = model_bf16.apply(state.params, imgs)
+    assert logits.dtype == jnp2.bfloat16
+    want = jax.image.resize(jnp.argmax(logits, -1), (3, 48, 48), "nearest")
+    agreement = np.mean(got == np.asarray(want, np.uint8))
+    assert agreement > 0.99, agreement
+
+
 def test_export_cli_and_sidecar(trainer2d, tmp_path):
     tr, state = trainer2d
     ckpt = tmp_path / "ckpt"
