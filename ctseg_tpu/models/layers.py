@@ -131,17 +131,19 @@ class PReLU(nn.Module):
             (1,),
             self.param_dtype,
         )
-        if self.fused_instance_norm and jax.default_backend() == "tpu":
-            from ctseg_tpu.ops.pallas.instance_norm import (
-                fused_instance_norm_prelu,
-                fusion_supported,
-            )
+        if self.fused_instance_norm:
+            if jax.default_backend() == "tpu":
+                from ctseg_tpu.ops.pallas.instance_norm import (
+                    fused_instance_norm_prelu,
+                    fusion_supported,
+                )
 
-            if fusion_supported(x.shape):
-                # bf16 stays bf16 end-to-end; the kernel keeps stats in f32
-                # internally (ops/pallas/instance_norm.py).
-                return fused_instance_norm_prelu(x, alpha)
-            # Infeasible tiling: fall back to the unfused path below.
+                if fusion_supported(x.shape):
+                    # bf16 stays bf16 end-to-end; the kernel keeps stats in
+                    # f32 internally (ops/pallas/instance_norm.py).
+                    return fused_instance_norm_prelu(x, alpha)
+            # Off-TPU or infeasible tiling: the norm must still run — this
+            # module owns BOTH ops when fused_instance_norm is set.
             x = instance_norm(x)
         return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 

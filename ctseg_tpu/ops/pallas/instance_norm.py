@@ -91,8 +91,10 @@ def _pick_tile(c: int, h: int, w: int):
 
 
 def fusion_supported(shape) -> bool:
-    """The two forms together cover every (N, *spatial, C) float input."""
-    return True
+    """The two forms together cover every (N, *spatial, C) input with at
+    least one spatial dim (rank >= 3; _as_4d needs a spatial axis to merge).
+    Callers fall back to the unfused XLA chain when this is False."""
+    return len(shape) >= 3
 
 
 def _as_4d(x):

@@ -6,10 +6,12 @@ be rebuilt from the file alone. Format: a directory holding a flax-msgpack
 state pytree plus an hparams JSON — host-portable, dependency-free.
 
 Production hardening beyond the reference:
-  - each file write is ATOMIC (tmp file + rename), and the hparams record a
-    digest of the state bytes, so a kill landing between the two renames
-    (possible only when re-targeting a directory with different content)
-    is DETECTED at load instead of deserializing a mixed-generation pair;
+  - each file write is ATOMIC (tmp file + rename), the hparams record a
+    digest of the state bytes, and re-saves rotate the previous state to
+    state.msgpack.bak before writing — so a kill at ANY point leaves a
+    loadable generation: a mixed-generation main pair is detected by the
+    digest and load_checkpoint RECOVERS the previous generation from the
+    backup instead of deserializing garbage or bricking the run;
   - `AsyncCheckpointer` overlaps periodic saves with training: the state is
     snapshotted on device (cheap HBM copies, safe against the train step's
     buffer donation) and a worker thread does the device->host fetch and
@@ -21,6 +23,7 @@ import hashlib
 import json
 import os
 import threading
+import warnings
 from pathlib import Path
 from typing import Any, Dict, Union
 
@@ -38,17 +41,38 @@ def _atomic_write_bytes(path: Path, data: bytes) -> None:
 def save_checkpoint(
     path: Union[str, Path], state: Any, hparams: Dict[str, Any]
 ) -> None:
+    """Write (state.msgpack, hparams.json) so that EVERY kill point leaves a
+    loadable generation.
+
+    Two files cannot be replaced in one atomic step, so re-saving into the
+    same directory rotates the previous state to state.msgpack.bak first;
+    the write order is then bak-rotate -> state -> hparams (each rename
+    atomic). A kill between the renames leaves either a consistent main
+    pair or a (state.msgpack.bak, hparams.json) pair whose digests match —
+    load_checkpoint recovers the previous generation from the backup
+    instead of bricking the run."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     host_state = jax.device_get(state)
     data = flax.serialization.to_bytes(host_state)
-    # hparams carries the state digest: written FIRST so a kill between the
-    # renames leaves (new hparams, old state), which load_checkpoint rejects.
     meta = dict(hparams, _state_sha256=hashlib.sha256(data).hexdigest())
+    state_path = path / "state.msgpack"
+    if state_path.exists():
+        # Rotate only a state that matches the on-disk hparams digest: a
+        # leftover from a torn save must not clobber the good backup.
+        hp = path / "hparams.json"
+        rec = (
+            json.loads(hp.read_text()).get("_state_sha256")
+            if hp.exists()
+            else None
+        )
+        old = state_path.read_bytes()
+        if rec is None or hashlib.sha256(old).hexdigest() == rec:
+            os.replace(state_path, path / "state.msgpack.bak")
+    _atomic_write_bytes(state_path, data)
     _atomic_write_bytes(
         path / "hparams.json", json.dumps(meta, indent=2, default=str).encode()
     )
-    _atomic_write_bytes(path / "state.msgpack", data)
 
 
 def load_hparams(path: Union[str, Path]) -> Dict[str, Any]:
@@ -60,23 +84,38 @@ def load_hparams(path: Union[str, Path]) -> Dict[str, Any]:
 def load_checkpoint(path: Union[str, Path], template_state: Any) -> Any:
     """Restore a state pytree using `template_state` for structure/shapes.
 
-    Rejects mixed-generation directories: if the hparams carry a state
-    digest (every checkpoint written since the digest was introduced) it
-    must match the state bytes on disk."""
+    Verifies the digest the hparams carry (every checkpoint written since
+    the digest was introduced) against the state bytes; on mismatch — a
+    save was killed between the two file renames — it falls back to the
+    previous generation in state.msgpack.bak when that one matches, and
+    only errors when no consistent pair exists (files from different runs,
+    or corruption)."""
     path = Path(path)
-    data = (path / "state.msgpack").read_bytes()
     recorded = json.loads((path / "hparams.json").read_text()).get(
         "_state_sha256"
     )
-    if recorded is not None:
-        actual = hashlib.sha256(data).hexdigest()
-        if actual != recorded:
-            raise ValueError(
-                f"torn checkpoint at {path}: state.msgpack does not match the "
-                "digest in hparams.json (a save was interrupted between the "
-                "two file writes, or the files come from different runs)"
+    state_path = path / "state.msgpack"
+    data = state_path.read_bytes() if state_path.exists() else None
+    if recorded is None:  # pre-digest checkpoint
+        if data is None:
+            raise FileNotFoundError(state_path)
+        return flax.serialization.from_bytes(template_state, data)
+    if data is not None and hashlib.sha256(data).hexdigest() == recorded:
+        return flax.serialization.from_bytes(template_state, data)
+    bak = path / "state.msgpack.bak"
+    if bak.exists():
+        bak_data = bak.read_bytes()
+        if hashlib.sha256(bak_data).hexdigest() == recorded:
+            warnings.warn(
+                f"checkpoint at {path}: a save was interrupted mid-write; "
+                "recovered the previous generation from state.msgpack.bak"
             )
-    return flax.serialization.from_bytes(template_state, data)
+            return flax.serialization.from_bytes(template_state, bak_data)
+    raise ValueError(
+        f"torn checkpoint at {path}: state.msgpack does not match the "
+        "digest in hparams.json and no matching state.msgpack.bak exists "
+        "(files from different runs, or corruption)"
+    )
 
 
 class AsyncCheckpointer:

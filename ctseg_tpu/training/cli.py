@@ -103,8 +103,9 @@ def _add_common_args(parser: ArgumentParser) -> None:
     parser.add_argument(
         "--steps_per_epoch",
         type=int,
-        default=100,
-        help="train_3d patch mode: random-patch batches per epoch.",
+        default=None,
+        help="train_3d patch mode: random-patch batches per epoch "
+        "(default 100; on --resume the checkpoint's schedule wins).",
     )
     parser.add_argument(
         "--preset",
@@ -238,9 +239,21 @@ def run_2d(args, mixup: bool) -> None:
         # Cut short by the scheduler: the resumable checkpoint is already on
         # disk (fit saved it). Do NOT publish a partial final model or start
         # a test evaluation inside the termination grace period.
-        print(f"{p} — resume with --resume {args.checkpoint_dir}")
+        if args.checkpoint_dir:
+            print(f"{p} — resume with --resume {args.checkpoint_dir}")
+        else:
+            print(
+                f"{p} — NO checkpoint was saved (run had no "
+                "--checkpoint_dir); progress is lost"
+            )
         logger.close()
         return
+
+    if args.checkpoint_dir:
+        # Final state: a COMPLETED run must be on disk too, not only
+        # periodic/preemption saves (every-25 never fires for short runs) —
+        # evaluate/predict/serve all take this directory directly.
+        trainer.save(args.checkpoint_dir, state)
 
     if args.use_full_data:
         # Final model: save + test (reference base_trainer.py:244-246).

@@ -88,6 +88,12 @@ class TrainConfig:
     # checkpoints self-describing so Trainer.restore rebuilds 3D trainers
     # with the right volumetric transforms.
     volumetric_mode: Any = None
+    # Patch-mode 3D schedule (sampled patches per epoch). Recorded in the
+    # checkpoint because resume derives the start epoch from
+    # state.step // steps_per_epoch — an un-checkpointed value would let a
+    # resume with a different flag silently train the wrong number of
+    # epochs. None for 2D/resize trainers (their epoch length is the data).
+    steps_per_epoch: Any = None
 
     def as_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

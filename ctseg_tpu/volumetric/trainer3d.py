@@ -110,6 +110,11 @@ def run_3d_training(args) -> None:
         in_channels=1,
         plateau_patience=10_000,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        steps_per_epoch=(
+            (getattr(args, "steps_per_epoch", None) or 100)
+            if mode == "patch"
+            else None
+        ),
     )
     n_space = getattr(args, "spatial_devices", 1)
     if n_space > 1:
@@ -134,6 +139,9 @@ def run_3d_training(args) -> None:
             config, mode=mode, patch_size=patch_size, mesh=mesh
         )
         state = trainer.init_state()
+    # make_trainer_3d stamps volumetric_mode into ITS config copy; log/use
+    # that one so the experiment record matches the checkpoint hparams.
+    config = trainer.config
     input_shape = tuple(config.input_shape)  # patch or resize grid
 
     logger = MetricLogger(
@@ -152,7 +160,19 @@ def run_3d_training(args) -> None:
         from ctseg_tpu.volumetric.pipeline3d import PatchPipeline3D
 
         bs = max((config.batch_size // n_data) * n_data, n_data)
-        steps = getattr(args, "steps_per_epoch", None) or 100
+        # The epoch schedule lives in the checkpoint (resume derives the
+        # start epoch from state.step // steps_per_epoch); a conflicting
+        # --steps_per_epoch on resume would corrupt that derivation.
+        requested = getattr(args, "steps_per_epoch", None)
+        steps = config.steps_per_epoch or requested or 100
+        if requested and config.steps_per_epoch and requested != config.steps_per_epoch:
+            import warnings
+
+            warnings.warn(
+                f"--steps_per_epoch {requested} ignored: the checkpoint's "
+                f"schedule is {config.steps_per_epoch} steps/epoch and the "
+                "resume epoch is derived from it"
+            )
         train_pipe = PatchPipeline3D(
             train, bs, patch_size=input_shape, steps_per_epoch=steps
         )
@@ -188,5 +208,17 @@ def run_3d_training(args) -> None:
             checkpoint_every=25 if args.checkpoint_dir else 0,
         )
     except Preempted as p:
-        print(f"{p} — resume with --resume {args.checkpoint_dir}")
+        if args.checkpoint_dir:
+            print(f"{p} — resume with --resume {args.checkpoint_dir}")
+        else:
+            print(
+                f"{p} — NO checkpoint was saved (run had no "
+                "--checkpoint_dir); progress is lost"
+            )
+        logger.close()
+        return
+    if args.checkpoint_dir:
+        # Final state of a completed run (periodic every-25 saves never
+        # fire for short runs); evaluate/predict/serve take this directory.
+        trainer.save(args.checkpoint_dir, state)
     logger.close()

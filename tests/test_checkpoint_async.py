@@ -123,6 +123,56 @@ def test_torn_checkpoint_detected(tmp_path):
         Trainer.restore(tmp_path / "c")
 
 
+def test_torn_resave_recovers_previous_generation(tmp_path):
+    """A save killed between the state and hparams renames must NOT brick
+    the checkpoint: load falls back to state.msgpack.bak (the previous
+    generation), which the bak-rotation in save_checkpoint guarantees
+    matches the on-disk hparams digest."""
+    import pytest
+
+    cfg = _small_config()
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    d = tmp_path / "c"
+    tr.save(d, state)  # gen 1
+    bumped = state._replace(step=state.step + 7)
+    tr.save(d, bumped)  # gen 2: rotates gen-1 state to .bak
+    assert (d / "state.msgpack.bak").exists()
+
+    # Simulate a gen-3 save killed after the state rename, before hparams:
+    # rotate gen-2 state to .bak and drop unmatched bytes into the slot.
+    os.replace(d / "state.msgpack", d / "state.msgpack.bak")
+    (d / "state.msgpack").write_bytes(b"half-written garbage")
+    with pytest.warns(UserWarning, match="recovered the previous"):
+        _, restored = Trainer.restore(d)
+    assert int(restored.step) == int(bumped.step)
+
+    # A fresh save into the recovered directory must not rotate the torn
+    # leftover over the good backup; the next kill window stays recoverable.
+    tr.save(d, bumped._replace(step=bumped.step + 1))
+    _, restored2 = Trainer.restore(d)  # consistent main pair, no warning
+    assert int(restored2.step) == int(bumped.step) + 1
+
+
+def test_torn_resave_save_after_recovery_keeps_backup(tmp_path):
+    """save_checkpoint over a torn directory leaves the matching .bak in
+    place (the torn state must not become the backup)."""
+    cfg = _small_config()
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    d = tmp_path / "c"
+    tr.save(d, state)  # gen 1; hparams digest matches gen-1 state
+    good = (d / "state.msgpack").read_bytes()
+    os.replace(d / "state.msgpack", d / "state.msgpack.bak")
+    (d / "state.msgpack").write_bytes(b"torn")  # killed mid-save leftover
+
+    tr.save(d, state._replace(step=state.step + 3))
+    # The torn bytes were discarded, not rotated into .bak.
+    assert (d / "state.msgpack.bak").read_bytes() == good
+    _, restored = Trainer.restore(d)
+    assert int(restored.step) == int(state.step) + 3
+
+
 def test_periodic_async_saves_in_fit(tmp_path):
     cfg = _small_config(epochs=4)
     tr = Trainer(cfg)

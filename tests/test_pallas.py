@@ -111,3 +111,25 @@ def test_conv3x3_in_prelu_fused(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
     assert fusion_supported((2, 16, 16, 1024), 1024)
     assert not fusion_supported((2, 256, 256, 64), 64)
+
+
+def test_fused_norm_config_off_tpu_still_normalizes(rng):
+    """fused_norm=True off-TPU must fall back to the UNFUSED norm chain —
+    the model computes the same function on every backend (regression: the
+    backend gate once skipped InstanceNorm entirely, leaving bare PReLU)."""
+    from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+    x = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    outs = []
+    for fused in (False, True):
+        cfg = TrainConfig(
+            filters=(4, 8), num_res_units=1, input_size=16,
+            transform_degree=0, fused_norm=fused,
+        )
+        tr = Trainer(cfg)
+        state = tr.init_state(jax.random.key(0))
+        imgs = jnp.asarray(np.stack([x[0][..., None]] * 2))
+        outs.append(np.asarray(tr.model.apply(state.params, imgs)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
+    # and the norm genuinely ran: logits differ from a norm-free model
+    assert float(np.abs(outs[1]).max()) > 0
