@@ -80,33 +80,39 @@ def evaluate_2d(
         dice, valid = dice_per_sample_class(preds, labels)
         valid = jnp.logical_and(valid, row_valid[:, None])
         if with_hd95:
-            # Device HD95 (metrics/hd95.py): padded rows -> nan, and nan
-            # rows are dropped by the nan-aware host aggregation below.
-            hd = jax.vmap(
-                lambda p, t, v: jnp.where(
-                    v, hd95_per_structure_device(p, t, NUM_CLASSES), jnp.nan
-                )
-            )(preds, labels, row_valid)
-            return dice, valid, hd
-        return dice, valid, jnp.zeros((preds.shape[0], NUM_CLASSES - 1))
+            # Device HD95 (metrics/hd95.py): (value, valid) pairs; padded
+            # rows are masked out via row_valid like the Dice metric.
+            def one(p, t, v):
+                vals, ok = hd95_per_structure_device(p, t, NUM_CLASSES)
+                return vals, jnp.logical_and(ok, v)
+
+            hd, hd_valid = jax.vmap(one)(preds, labels, row_valid)
+            return dice, valid, hd, hd_valid
+        zeros = jnp.zeros((preds.shape[0], NUM_CLASSES - 1))
+        return dice, valid, zeros, zeros > 0
 
     all_dice, all_valid = [], []
-    hd_rows = []
+    hd_rows, hd_valid_rows = [], []
     t0 = time.time()
-    n_slices = 0
+    # padded_epoch covers every sample exactly once (padding rows carry
+    # row_valid=False), so the count is statically the dataset length — a
+    # per-batch row_valid.sum() fetch would force a host sync every batch.
+    n_slices = len(dataset)
     for images_raw, labels_raw, _, row_valid in pipe.padded_epoch(None):
         if batch_sharding is not None:
             images_raw, labels_raw, row_valid = jax.device_put(
                 (images_raw, labels_raw, row_valid), batch_sharding
             )
-        dice, valid, hd = step(params, images_raw, labels_raw, row_valid)
+        dice, valid, hd, hd_valid = step(
+            params, images_raw, labels_raw, row_valid
+        )
         # Device-resident accumulation: per-batch np.asarray would force a
         # host sync each batch and serialize dispatch against compute.
         all_dice.append(dice)
         all_valid.append(valid)
-        n_slices += int(np.asarray(row_valid).sum())
         if with_hd95:
             hd_rows.append(hd)
+            hd_valid_rows.append(hd_valid)
     dice = jnp.concatenate(all_dice)
     valid = jnp.concatenate(all_valid)
     float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)
@@ -123,12 +129,15 @@ def evaluate_2d(
         "num_slices": n_slices,
     }
     if with_hd95:
-        hd = np.asarray(jnp.concatenate(hd_rows))  # (N, 9) with nans
-        with np.errstate(invalid="ignore"):
-            hd_mean = np.nanmean(hd, axis=0)
+        # (value, valid) aggregation, mirroring the Dice reduction; None
+        # marks structures with no valid (pred AND target nonempty) sample.
+        hd_mean, hd_n = masked_mean_batch(
+            jnp.concatenate(hd_rows), jnp.concatenate(hd_valid_rows)
+        )
+        hd_mean, hd_n = np.asarray(hd_mean), np.asarray(hd_n)
         result["per_structure_hd95"] = {
-            s: (float(v) if np.isfinite(v) else None)
-            for s, v in zip(STRUCTURES, hd_mean)
+            s: (float(v) if n > 0 else None)
+            for s, v, n in zip(STRUCTURES, hd_mean, hd_n)
         }
     return result
 
@@ -265,9 +274,10 @@ def evaluate_3d_sliding_window(
             dice, valid = dice_per_sample_class(preds[None], target[None])
             if with_hd95:
                 # HD95 on device: never materializes volume-sized
-                # predictions outside the jit (metrics/hd95.py).
-                hd = hd95_per_structure_device(preds, target, NUM_CLASSES)
-                return dice[0], valid[0], hd
+                # predictions outside the jit (metrics/hd95.py). (value,
+                # valid) pairs like every metric here.
+                hd, hd_ok = hd95_per_structure_device(preds, target, NUM_CLASSES)
+                return dice[0], valid[0], hd, hd_ok
             return dice[0], valid[0]
 
         @jax.jit
@@ -295,7 +305,7 @@ def evaluate_3d_sliding_window(
         labs = np.stack([dataset.labels[i] for i in idxs])
         return shape, jax.device_put(imgs), jax.device_put(labs)
 
-    all_dice, all_valid, hd_rows = [], [], []
+    all_dice, all_valid, hd_rows, hd_valid_rows = [], [], [], []
     t0 = time.time()
     staged = stage(items[0])
     for k in range(len(items)):
@@ -308,6 +318,7 @@ def evaluate_3d_sliding_window(
         all_valid.append(out[1])
         if with_hd95:
             hd_rows.append(out[2])
+            hd_valid_rows.append(out[3])
     dice = jnp.concatenate(all_dice)
     valid = jnp.concatenate(all_valid)
     float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)
@@ -323,12 +334,15 @@ def evaluate_3d_sliding_window(
         "num_volumes": len(dataset.images),
     }
     if with_hd95:
-        hd = np.asarray(jnp.concatenate(hd_rows))  # (N, 9) with nans
-        with np.errstate(invalid="ignore"):
-            hd_mean = np.nanmean(hd, axis=0)
+        # (value, valid) aggregation, mirroring the Dice reduction; None
+        # marks structures with no valid (pred AND target nonempty) sample.
+        hd_mean, hd_n = masked_mean_batch(
+            jnp.concatenate(hd_rows), jnp.concatenate(hd_valid_rows)
+        )
+        hd_mean, hd_n = np.asarray(hd_mean), np.asarray(hd_n)
         result["per_structure_hd95"] = {
-            s: (float(v) if np.isfinite(v) else None)
-            for s, v in zip(STRUCTURES, hd_mean)
+            s: (float(v) if n > 0 else None)
+            for s, v, n in zip(STRUCTURES, hd_mean, hd_n)
         }
     return result
 

@@ -56,12 +56,20 @@ def _model_for_dtype(trainer: Trainer, infer_dtype: Optional[str]):
     Model L artifact runs 483 ms/batch-32 exported at float32 vs 11.7 ms at
     bfloat16 (41x) — an f32-trained checkpoint should usually be exported
     with infer_dtype='bfloat16' for TPU serving.
+
+    The Pallas fusion / polyphase flags are always cloned OFF: their TPU
+    Mosaic custom calls cannot lower for the 'cpu' platform the artifact
+    also targets, and all three are parameter-free drop-ins for the plain
+    XLA path (checkpoint-compatible by design), so the exported numerics
+    are unchanged.
     """
-    if infer_dtype is None or infer_dtype == "checkpoint":
-        return trainer.model
-    return trainer.model.clone(
-        dtype=jnp.bfloat16 if infer_dtype == "bfloat16" else jnp.float32
-    )
+    overrides = dict(fused_norm_act=False, fused_conv_block=False,
+                     polyphase_up=False)
+    if infer_dtype not in (None, "checkpoint"):
+        overrides["dtype"] = (
+            jnp.bfloat16 if infer_dtype == "bfloat16" else jnp.float32
+        )
+    return trainer.model.clone(**overrides)
 
 
 def export_slice_model(

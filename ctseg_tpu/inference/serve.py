@@ -64,12 +64,17 @@ class SegmentationService:
         self.crop = crop
         self.patch_size = tuple(patch_size)
         self.overlap = overlap
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # serializes device work
+        # Counters get their own lock: info()/healthz must not block behind
+        # an in-flight segmentation (cold compiles hold _lock for seconds).
+        self._stats_lock = threading.Lock()
         self.served = 0
         self.warm_shapes: set = set()
 
     def info(self) -> Dict:
         cfg = self.trainer.config
+        with self._stats_lock:
+            served, warm = self.served, sorted(map(list, self.warm_shapes))
         return {
             "status": "ok",
             "checkpoint": self.checkpoint,
@@ -77,8 +82,8 @@ class SegmentationService:
             "filters": list(cfg.filters),
             "num_res_units": cfg.num_res_units,
             "crop": self.crop,
-            "served": self.served,
-            "warm_shapes": sorted(map(list, self.warm_shapes)),
+            "served": served,
+            "warm_shapes": warm,
         }
 
     def segment(self, volume: Volume, crop: Optional[bool] = None) -> np.ndarray:
@@ -92,8 +97,9 @@ class SegmentationService:
                 patch_size=self.patch_size,
                 overlap=self.overlap,
             )
-            self.served += 1
-            self.warm_shapes.add(tuple(volume.as_numpy()[0].shape))
+            with self._stats_lock:
+                self.served += 1
+                self.warm_shapes.add(tuple(volume.as_numpy()[0].shape))
             return labels
 
     def warmup(self, shape: Tuple[int, int, int]) -> float:
@@ -101,7 +107,8 @@ class SegmentationService:
         t0 = time.time()
         data = np.zeros(shape, np.float32)
         self.segment(Volume(data[None]))
-        self.served -= 1  # warmup is not a served request
+        with self._stats_lock:
+            self.served -= 1  # warmup is not a served request
         return time.time() - t0
 
 

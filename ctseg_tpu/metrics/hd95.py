@@ -152,7 +152,11 @@ def hd95_per_structure_device(
     """Per-class HD95 of integer label maps, entirely on device.
 
     pred_labels/target_labels: (*spatial) int label maps (2D or 3D).
-    Returns (n_classes - 1,) float32 with nan where either mask is empty.
+    Returns ((n_classes - 1,) float32 values, (n_classes - 1,) bool valid)
+    with valid=False (and value 0) where either mask is empty — the repo's
+    explicit (value, valid) metric convention (no NaN-based reductions:
+    they break under jax debug_nans and are XLA-hostile; the host/scipy
+    path keeps the reference's nan encoding as the differential oracle).
     Unit voxel spacing (use the scipy path for anisotropic spacing);
     matches `hd95_per_structure` to float tolerance (tests/test_hd95.py).
     """
@@ -171,6 +175,6 @@ def hd95_per_structure_device(
         a, na = _masked_percentile_sqrt(d2_to_t, ps, percentile, n_iters)
         b, nb = _masked_percentile_sqrt(d2_to_p, ts, percentile, n_iters)
         ok = jnp.logical_and(na > 0, nb > 0)
-        return jnp.where(ok, jnp.maximum(a, b), jnp.nan)
+        return jnp.where(ok, jnp.maximum(a, b), 0.0), ok
 
     return jax.vmap(per_class)(jnp.arange(1, n_classes))

@@ -120,7 +120,10 @@ def _fwd_resident(x_ref, alpha_ref, y_ref, mean_ref, var_ref):
     alpha = alpha_ref[0]
     m = jnp.mean(x, axis=(0, 1), keepdims=True)  # (1, 1, CT)
     m2 = jnp.mean(x * x, axis=(0, 1), keepdims=True)
-    var = m2 - m * m
+    # Clamp like models/layers.py::instance_norm: one-pass E[x^2]-E[x]^2 can
+    # round negative for near-constant channels with large mean, and
+    # rsqrt(var+EPS) would then be NaN.
+    var = jnp.maximum(m2 - m * m, 0.0)
     inv = jax.lax.rsqrt(var + EPS)
     xhat = (x - m) * inv
     y_ref[:] = jnp.where(xhat >= 0, xhat, alpha * xhat).astype(y_ref.dtype)
@@ -172,7 +175,8 @@ def _stats_stream(x_ref, mean_ref, var_ref, acc_ref):
     def _():
         s_total = jnp.float32(x_ref.shape[0] * x_ref.shape[1] * n_k)
         m = acc_ref[0:1, :] / s_total
-        var = acc_ref[1:2, :] / s_total - m * m
+        # Clamped like the resident form / models/layers.py (see above).
+        var = jnp.maximum(acc_ref[1:2, :] / s_total - m * m, 0.0)
         mean_ref[:] = m
         var_ref[:] = var
 
@@ -393,7 +397,9 @@ def reference_instance_norm_prelu(x, alpha):
     axes = tuple(range(1, x.ndim - 1))
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes, keepdims=True)
-    var = jnp.mean(x32 * x32, axis=axes, keepdims=True) - mean * mean
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=axes, keepdims=True) - mean * mean, 0.0
+    )
     xhat = (x32 - mean) * jax.lax.rsqrt(var + EPS)
     a = alpha.astype(jnp.float32)
     return jnp.where(xhat >= 0, xhat, a * xhat).astype(x.dtype)

@@ -161,14 +161,56 @@ def _config_from_args(args, mixup: bool) -> TrainConfig:
     )
 
 
-def _fit_batch(requested: int, n_items: int, mesh) -> int:
-    """Largest usable batch: <= dataset size and divisible by the mesh size."""
-    b = min(requested, n_items)
-    if mesh is not None:
-        m = mesh.size
-        assert n_items >= m, "dataset smaller than the device mesh"
-        b = max((b // m) * m, m)
+def _fit_batch(requested: int, n_items, divisor: int = 1) -> int:
+    """Largest usable batch: <= dataset size (when bounded) and divisible by
+    `divisor` (a mesh's data-axis size; batches shard over it). Shared by
+    the 2D and 3D CLIs. n_items=None means unbounded — patch pipelines
+    sample with replacement, so only divisibility applies."""
+    b = requested if n_items is None else min(requested, n_items)
+    if divisor > 1:
+        if n_items is not None:
+            assert n_items >= divisor, "dataset smaller than the device mesh"
+        b = max((b // divisor) * divisor, divisor)
     return b
+
+
+def fit_and_finalize(
+    trainer, state, *, logger, checkpoint_dir, profile_ctx=None, **fit_kwargs
+):
+    """Trainer.fit plus the run epilogue every CLI shares: catch Preempted
+    (report how to resume, close the logger, return None — callers must
+    skip their publish/test tails), and save the final state of a COMPLETED
+    run to `checkpoint_dir` (periodic every-N saves never fire for short
+    runs; evaluate/predict/serve all take this directory directly)."""
+    import contextlib
+
+    from ctseg_tpu.training.trainer import Preempted
+
+    try:
+        with profile_ctx or contextlib.nullcontext():
+            state = trainer.fit(
+                state,
+                logger=logger,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=25 if checkpoint_dir else 0,
+                **fit_kwargs,
+            )
+    except Preempted as p:
+        # Cut short by the scheduler: the resumable checkpoint is already on
+        # disk (fit saved it). Do NOT publish a partial final model or start
+        # a test evaluation inside the termination grace period.
+        if checkpoint_dir:
+            print(f"{p} — resume with --resume {checkpoint_dir}")
+        else:
+            print(
+                f"{p} — NO checkpoint was saved (run had no "
+                "--checkpoint_dir); progress is lost"
+            )
+        logger.close()
+        return None
+    if checkpoint_dir:
+        trainer.save(checkpoint_dir, state)
+    return state
 
 
 def run_2d(args, mixup: bool) -> None:
@@ -193,14 +235,15 @@ def run_2d(args, mixup: bool) -> None:
         experiment_name=args.experiment_name,
         config=config.as_dict(),
     )
+    divisor = mesh.size if mesh is not None else 1
     train_pipe = DevicePipeline2D(
-        train, _fit_batch(config.batch_size, len(train), mesh)
+        train, _fit_batch(config.batch_size, len(train), divisor)
     )
     val_pipe = (
         None
         if args.use_full_data
         else DevicePipeline2D(
-            valid, _fit_batch(config.batch_size, len(valid), mesh)
+            valid, _fit_batch(config.batch_size, len(valid), divisor)
         )
     )
     callbacks = []
@@ -212,48 +255,26 @@ def run_2d(args, mixup: bool) -> None:
                 valid, Path(args.checkpoint_dir) / "examples"
             )
         )
-    import contextlib
-
     from ctseg_tpu.utils.profiling import trace
 
     profile_ctx = (
         trace(str(Path(args.checkpoint_dir or "logs") / "profile"))
         if args.profile
-        else contextlib.nullcontext()
+        else None
     )
-    from ctseg_tpu.training.trainer import Preempted
-
-    try:
-        with profile_ctx:
-            state = trainer.fit(
-                state,
-                train_pipe,
-                val_pipe,
-                epochs=args.max_epochs,  # None -> the config's total
-                logger=logger,
-                checkpoint_dir=args.checkpoint_dir,
-                checkpoint_every=25 if args.checkpoint_dir else 0,
-                callbacks=callbacks,
-            )
-    except Preempted as p:
-        # Cut short by the scheduler: the resumable checkpoint is already on
-        # disk (fit saved it). Do NOT publish a partial final model or start
-        # a test evaluation inside the termination grace period.
-        if args.checkpoint_dir:
-            print(f"{p} — resume with --resume {args.checkpoint_dir}")
-        else:
-            print(
-                f"{p} — NO checkpoint was saved (run had no "
-                "--checkpoint_dir); progress is lost"
-            )
-        logger.close()
+    state = fit_and_finalize(
+        trainer,
+        state,
+        logger=logger,
+        checkpoint_dir=args.checkpoint_dir,
+        profile_ctx=profile_ctx,
+        train_pipeline=train_pipe,
+        val_pipeline=val_pipe,
+        epochs=args.max_epochs,  # None -> the config's total
+        callbacks=callbacks,
+    )
+    if state is None:  # preempted; logger already closed
         return
-
-    if args.checkpoint_dir:
-        # Final state: a COMPLETED run must be on disk too, not only
-        # periodic/preemption saves (every-25 never fires for short runs) —
-        # evaluate/predict/serve all take this directory directly.
-        trainer.save(args.checkpoint_dir, state)
 
     if args.use_full_data:
         # Final model: save + test (reference base_trainer.py:244-246).
@@ -261,7 +282,7 @@ def run_2d(args, mixup: bool) -> None:
         out = Path(DEFAULT_DATA_STORAGE) / name
         trainer.save(out, state)
         test = PackedDataset2D.load(data_dir / "test_packed.npz")
-        test_bs = _fit_batch(config.batch_size, len(test), mesh)
+        test_bs = _fit_batch(config.batch_size, len(test), divisor)
         metrics = trainer.eval_epoch(
             state.params, DevicePipeline2D(test, test_bs), "test", logger
         )

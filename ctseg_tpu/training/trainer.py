@@ -20,6 +20,7 @@ shapes static (fixed batch, fixed crop size).
 
 import dataclasses
 import time
+import warnings
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -88,11 +89,13 @@ class TrainConfig:
     # checkpoints self-describing so Trainer.restore rebuilds 3D trainers
     # with the right volumetric transforms.
     volumetric_mode: Any = None
-    # Patch-mode 3D schedule (sampled patches per epoch). Recorded in the
-    # checkpoint because resume derives the start epoch from
-    # state.step // steps_per_epoch — an un-checkpointed value would let a
-    # resume with a different flag silently train the wrong number of
-    # epochs. None for 2D/resize trainers (their epoch length is the data).
+    # Steps per epoch. Recorded in the checkpoint because resume derives the
+    # start epoch from state.step // steps_per_epoch — an un-checkpointed
+    # value would let a resume with a different flag (--use_full_data, a
+    # different --steps_per_epoch) silently train the wrong number of
+    # epochs. Patch-mode 3D sets it up front (sampled patches per epoch);
+    # data-length modes start at None and fit() records the pipeline's
+    # batch count at the first epoch.
     steps_per_epoch: Any = None
 
     def as_dict(self) -> Dict[str, Any]:
@@ -499,7 +502,27 @@ class Trainer:
         import signal as _signal
 
         epochs = epochs or self.config.epochs
-        steps_per_epoch = max(1, train_pipeline.num_batches())
+        pipeline_spe = max(1, train_pipeline.num_batches())
+        # The epoch count on resume is state.step // steps_per_epoch, so the
+        # schedule must come from the CHECKPOINT, not the current pipeline:
+        # a resume whose pipeline length differs (e.g. --use_full_data
+        # passed originally but forgotten on resume) would otherwise derive
+        # the wrong start epoch and silently mis-train. Record the value at
+        # the first fit so every checkpoint carries it.
+        if self.config.steps_per_epoch is None:
+            self.config = dataclasses.replace(
+                self.config, steps_per_epoch=pipeline_spe
+            )
+        steps_per_epoch = int(self.config.steps_per_epoch)
+        if pipeline_spe != steps_per_epoch and int(state.step) > 0:
+            warnings.warn(
+                f"resume: the training pipeline yields {pipeline_spe} "
+                f"batches/epoch but the checkpoint's schedule is "
+                f"{steps_per_epoch} — the dataset or flags (e.g. "
+                f"--use_full_data) differ from the original run. The start "
+                f"epoch is derived from the checkpoint's schedule; check "
+                f"the invocation if this is unintended."
+            )
         start_epoch = min(int(state.step) // steps_per_epoch, epochs)
         base_key = jax.random.key(self.config.seed)
         async_ckpt = ckpt.AsyncCheckpointer() if checkpoint_dir else None

@@ -155,11 +155,12 @@ def run_3d_training(args) -> None:
     # additionally bounded by the split size; patch mode samples patches
     # with replacement, so only divisibility applies.
     n_data = mesh.shape["data"] if mesh is not None else 1
+    from ctseg_tpu.training.cli import _fit_batch, fit_and_finalize
 
     if mode == "patch":
         from ctseg_tpu.volumetric.pipeline3d import PatchPipeline3D
 
-        bs = max((config.batch_size // n_data) * n_data, n_data)
+        bs = _fit_batch(config.batch_size, None, n_data)
         # The epoch schedule lives in the checkpoint (resume derives the
         # start epoch from state.step // steps_per_epoch); a conflicting
         # --steps_per_epoch on resume would corrupt that derivation.
@@ -180,45 +181,26 @@ def run_3d_training(args) -> None:
             valid, bs, patch_size=input_shape, steps_per_epoch=steps
         )
     else:
-        assert len(train) >= n_data and len(valid) >= n_data, (
-            "split smaller than the mesh's data axis"
-        )
-
-        def _bs(requested, n_items):
-            b = min(requested, n_items)
-            return max((b // n_data) * n_data, n_data)
-
         train_pipe = DevicePipeline3D(
-            train, _bs(config.batch_size, len(train)), shape=input_shape
+            train,
+            _fit_batch(config.batch_size, len(train), n_data),
+            shape=input_shape,
         )
         val_pipe = DevicePipeline3D(
-            valid, _bs(config.batch_size, len(valid)), shape=input_shape
+            valid,
+            _fit_batch(config.batch_size, len(valid), n_data),
+            shape=input_shape,
         )
 
-    from ctseg_tpu.training.trainer import Preempted
-
-    try:
-        state = trainer.fit(
-            state,
-            train_pipe,
-            val_pipe,
-            epochs=args.max_epochs,  # None -> the config's total
-            logger=logger,
-            checkpoint_dir=args.checkpoint_dir,
-            checkpoint_every=25 if args.checkpoint_dir else 0,
-        )
-    except Preempted as p:
-        if args.checkpoint_dir:
-            print(f"{p} — resume with --resume {args.checkpoint_dir}")
-        else:
-            print(
-                f"{p} — NO checkpoint was saved (run had no "
-                "--checkpoint_dir); progress is lost"
-            )
-        logger.close()
+    state = fit_and_finalize(
+        trainer,
+        state,
+        logger=logger,
+        checkpoint_dir=args.checkpoint_dir,
+        train_pipeline=train_pipe,
+        val_pipeline=val_pipe,
+        epochs=args.max_epochs,  # None -> the config's total
+    )
+    if state is None:  # preempted; logger already closed
         return
-    if args.checkpoint_dir:
-        # Final state of a completed run (periodic every-25 saves never
-        # fire for short runs); evaluate/predict/serve take this directory.
-        trainer.save(args.checkpoint_dir, state)
     logger.close()

@@ -138,11 +138,18 @@ def resolve_released(source: str, name: str, out_dir: Path) -> Path:
     dest = out_dir / fname
     if dest.exists():
         return dest
+    import os
     import urllib.request
 
+    # Download to a .tmp name and rename on success (the checkpoint.py
+    # pattern): an interrupted urlretrieve must not leave a truncated
+    # .ckpt behind that a rerun's dest.exists() would silently reuse.
+    tmp = out_dir / (fname + ".tmp")
     try:
-        urllib.request.urlretrieve(url, dest)  # noqa: S310 — pinned URLs
+        urllib.request.urlretrieve(url, tmp)  # noqa: S310 — pinned URLs
+        os.replace(tmp, dest)
     except Exception as e:  # zero-egress container: say what to fetch
+        tmp.unlink(missing_ok=True)
         raise RuntimeError(
             f"could not download {url} ({e}); fetch it on a connected "
             f"machine and pass --from_released <dir containing {fname}>"

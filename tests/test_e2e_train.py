@@ -131,6 +131,40 @@ def test_checkpoint_round_trip(tmp_path, packed2d):
     assert int(state2.step) == int(state.step)
 
 
+def test_resume_uses_checkpointed_steps_per_epoch(tmp_path, packed2d):
+    """The resume start-epoch must come from the CHECKPOINT's recorded
+    schedule, not the current pipeline's batch count: resuming a run whose
+    dataset/flags differ (e.g. --use_full_data forgotten) would otherwise
+    derive the wrong epoch and silently under/over-train."""
+    cfg = _small_config(epochs=2)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    pipe_big = DevicePipeline2D(packed2d, cfg.batch_size)  # 6 batches/epoch
+    state = tr.fit(state, pipe_big, epochs=2)
+    assert tr.config.steps_per_epoch == pipe_big.num_batches()
+    tr.save(tmp_path / "ckpt", state)
+
+    # Resume against a SMALLER dataset (half the slices -> fewer batches).
+    small = PackedDataset2D(
+        images=packed2d.images[:24],
+        labels=packed2d.labels[:24],
+        indicators=packed2d.indicators[:24],
+    )
+    tr2, state2 = Trainer.restore(tmp_path / "ckpt")
+    assert tr2.config.steps_per_epoch == pipe_big.num_batches()
+    pipe_small = DevicePipeline2D(small, cfg.batch_size)  # 3 batches/epoch
+    seen = []
+    with pytest.warns(UserWarning, match="batches/epoch"):
+        state2 = tr2.fit(
+            state2, pipe_small, epochs=3,
+            callbacks=[lambda t, s, e: seen.append(e)],
+        )
+    # 12 steps at 6/epoch = 2 epochs done; exactly ONE more epoch runs.
+    # (The naive step // pipeline_spe would say 12 // 3 = epoch 4 > 3 and
+    # train nothing.)
+    assert seen == [2]
+
+
 def _synthetic_packed_3d(rng, n=3, shape=(12, 48, 48)):
     images, labels, indicators = [], [], []
     for i in range(n):

@@ -53,6 +53,33 @@ def test_slice_export_matches_predict(trainer2d, tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_export_drops_tpu_only_fusion_flags(tmp_path):
+    """A checkpoint trained with the Pallas fusion / polyphase flags must
+    export with them cloned OFF: their Mosaic custom calls cannot lower for
+    the 'cpu' platform the artifact targets (all three are parameter-free
+    drop-ins, so numerics are unchanged)."""
+    from ctseg_tpu.inference.export import _model_for_dtype
+
+    cfg = TrainConfig(filters=(4, 8), num_res_units=1, input_size=32,
+                      transform_degree=0, fused_norm=True, fused_conv=True,
+                      polyphase_up=True)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    model = _model_for_dtype(tr, None)
+    assert not model.fused_norm_act
+    assert not model.fused_conv_block
+    assert not model.polyphase_up
+    # and the export itself round-trips for cpu
+    rng = np.random.default_rng(0)
+    vol = rng.normal(40, 300, size=(2, 48, 48)).astype(np.float32)
+    exported = export_slice_model(tr, state.params, slice_shape=(48, 48),
+                                  platforms=("cpu",))
+    fn = load_exported(save_exported(exported, tmp_path / "m.stablehlo"))
+    got = np.asarray(fn(jnp.asarray(vol)))
+    want = predict_labels_2d(tr, state.params, vol, batch_size=2)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_symbolic_batch(trainer2d, tmp_path):
     tr, state = trainer2d
     exported = export_slice_model(tr, state.params, slice_shape=(48, 48),

@@ -58,11 +58,11 @@ def test_device_matches_scipy_random(rng, shape):
     """Jitted HD95 == scipy path (surfaces, EDT, percentile interpolation)."""
     pred = rng.integers(0, 4, size=shape)
     target = rng.integers(0, 4, size=shape)
-    target[target == 2] = 0  # class absent from GT -> nan in both paths
+    target[target == 2] = 0  # class absent from GT -> invalid/nan
     ref = hd95_per_structure(pred, target, n_classes=4)
-    ours = np.asarray(
-        hd95_per_structure_device(jnp.asarray(pred), jnp.asarray(target), 4)
-    )
+    vals, ok = hd95_per_structure_device(jnp.asarray(pred), jnp.asarray(target), 4)
+    # device path encodes invalidity as (0, valid=False); scipy oracle as nan
+    ours = np.where(np.asarray(ok), np.asarray(vals), np.nan)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -76,9 +76,8 @@ def test_device_matches_scipy_blobs(rng):
     pred[22:30, 22:30, 8:14] = 2
     target[20:28, 21:31, 7:13] = 2
     ref = hd95_per_structure(pred, target, n_classes=3)
-    ours = np.asarray(
-        hd95_per_structure_device(jnp.asarray(pred), jnp.asarray(target), 3)
-    )
+    vals, ok = hd95_per_structure_device(jnp.asarray(pred), jnp.asarray(target), 3)
+    ours = np.where(np.asarray(ok), np.asarray(vals), np.nan)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -90,9 +89,10 @@ def test_device_all_percentiles(rng):
     target[9:23, 8:20] = 1
     for q in (50.0, 90.0, 100.0):
         ref = hd95(pred == 1, target == 1, percentile=q)
-        ours = np.asarray(
-            hd95_per_structure_device(
-                jnp.asarray(pred), jnp.asarray(target), 2, percentile=q
-            )
-        )[0]
-        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+        vals, ok = hd95_per_structure_device(
+            jnp.asarray(pred), jnp.asarray(target), 2, percentile=q
+        )
+        assert bool(np.asarray(ok)[0])
+        np.testing.assert_allclose(
+            np.asarray(vals)[0], ref, rtol=1e-5, atol=1e-5
+        )

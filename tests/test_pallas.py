@@ -45,6 +45,28 @@ def test_fused_instance_norm_prelu_grad(rng):
     np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r), rtol=1e-3, atol=1e-5)
 
 
+def test_fused_instance_norm_prelu_constant_channel_no_nan(rng):
+    """One-pass E[x^2]-E[x]^2 rounds NEGATIVE in f32 for a near-constant
+    channel with large mean (this constant gives var = -0.125, far below
+    -EPS); without the clamp to >= 0 that models/layers.py::instance_norm
+    applies, rsqrt(var+eps) is NaN. Regression for the unclamped kernel."""
+    x = np.empty((2, 16, 32, 8), np.float32)
+    x[..., 0] = 1174.4667844096757  # measured: f32 one-pass var rounds to -0.125
+    x[..., 1:] = rng.normal(0.0, 2.0, size=(2, 16, 32, 7))
+    x = jnp.asarray(x)
+    alpha = jnp.asarray([0.25], jnp.float32)
+    out = fused_instance_norm_prelu(x, alpha, True)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = reference_instance_norm_prelu(x, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def loss(x, a):
+        return jnp.sum(jnp.square(fused_instance_norm_prelu(x, a, True)))
+
+    gx, ga = jax.grad(loss, argnums=(0, 1))(x, alpha)
+    assert np.isfinite(np.asarray(gx)).all() and np.isfinite(np.asarray(ga)).all()
+
+
 def test_fused_instance_norm_prelu_3d(rng):
     """3D (N, D, H, W, C) inputs reshape through the same kernel."""
     x = jnp.asarray(rng.normal(size=(1, 4, 8, 16, 8)).astype(np.float32))
