@@ -33,6 +33,9 @@ import numpy as np
 from ctseg_tpu.constants import (
     ANNOTATION_COUNT,
     CLASS_WEIGHT,
+    CROP_BOUNDARY_X,
+    CROP_BOUNDARY_Y,
+    CROP_BOUNDARY_Z,
     NUM_CLASSES,
     STACKED_WINDOW_MEAN,
     STACKED_WINDOW_STD,
@@ -56,8 +59,11 @@ def class_weights(labels: np.ndarray) -> Dict[str, float]:
     the reference's 1e-10 (capstone/models/losses.py:11)."""
     counts = class_pixel_counts(labels)
     foreground = counts[1:].sum()
-    with np.errstate(divide="ignore"):
-        w = foreground / np.maximum(counts[1:], 1)
+    # Deviation from the notebook (documented): the notebook divides raw
+    # counts — valid because every class is present in PDDCA's train split.
+    # A class absent from an arbitrary split has its count clamped to 1
+    # (it gets the maximum weight) instead of producing inf/nan.
+    w = foreground / np.maximum(counts[1:], 1)
     w = w / w.sum()
     out = {"Background": 1e-10}
     out.update({s: float(v) for s, v in zip(STRUCTURES, w)})
@@ -81,30 +87,37 @@ def annotation_counts(labels: np.ndarray) -> np.ndarray:
 
 def _window_clip_shift(x: np.ndarray, width: int, level: int) -> np.ndarray:
     """The reference's apply_window math (transforms_2d.py:97-107) in
-    numpy: clip to [level - width//2, level + width//2], shift to [0, 1]."""
+    numpy: clip to [level - width//2, level + width//2], shift to [0, 1]
+    by the FIXED window bounds (not the data's clipped min/max) —
+    differential-tested against ctseg_tpu.transforms.windowing.apply_window
+    in tests/test_stats.py."""
     lo, hi = level - width // 2, level + width // 2
     clipped = np.clip(x, lo, hi)
-    return (clipped - clipped.min()) / (clipped.max() - clipped.min() + 1e-8)
+    return (clipped - lo) / (hi - lo + 1e-8)
 
 
 def stacked_window_stats(
     images: np.ndarray,
     per_item: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Mean/std of each stacked window channel over raw-HU images (N, H, W).
+    """Mean/std of each stacked window channel over raw-HU images (N, ...).
 
-    per_item=True reproduces the reference pooling
-    (miccai_batch_exploration.ipynb cells 10-12): each item is windowed and
-    shifted INDEPENDENTLY (the shift normalizes by that item's own
-    clipped min/max), mean = sum of values / total voxels, and
-    std = sqrt(sum of per-item var * N / total voxels) — the within-item
-    pooled std, which ignores the spread of per-item means exactly like
-    the notebook. per_item=False computes the exact global std of the same
-    per-item-shifted values (the statistically complete version).
-    Returns (mean (3,), std (3,)) ordered like WINDOW_ORDER.
+    per_item=True uses the reference's POOLING formula
+    (miccai_batch_exploration.ipynb cells 10-12): mean = sum of windowed
+    values / total voxels, std = sqrt(sum of per-item var * N_item / total
+    voxels) — a within-item pooled std that ignores the spread of per-item
+    means exactly like the notebook. per_item=False is the exact global
+    std (the statistically complete version). Two documented population
+    differences from the notebook when run over a packed 2D split: the
+    notebook pools per cropped PATIENT VOLUME (here: per item = per slice),
+    and packed splits drop structure-free slices
+    (capstone/data/process_miccai.py:86 does too — for training data, not
+    for these stats). Returns (mean (3,), std (3,)) like WINDOW_ORDER.
     """
     images = np.asarray(images, np.float64)
-    n_total = images[0].size * len(images)
+    if images.size == 0:
+        raise ValueError("stacked_window_stats: empty image array")
+    n_total = images.size
     means, stds = [], []
     for wname in WINDOW_ORDER:
         width, level = WINDOWING_CONFIG[wname]
@@ -127,11 +140,14 @@ def stacked_window_stats(
 def crop_envelope(raw_dir) -> Dict[str, Tuple]:
     """Structure-extent envelope over raw patient dirs, the derivation
     behind the published crop box (miccai_batch_exploration.ipynb cell 3):
-    per patient, the min/max index of any structure voxel along x (W), y
-    (H), and z (D, as a fraction of the slide count); the envelope is the
-    min of mins / max of maxes over patients. The published box
-    (capstone/utils/miccai.py:195-197) is this envelope hand-widened to a
-    round safety margin."""
+    per patient, the min/max index of any structure voxel along each axis;
+    the envelope is the min of mins / max of maxes over patients. Axis
+    convention matches the reference crop (and CropBox.apply,
+    utils/miccai.py): on a (D, H, W) volume, "x" slices the H axis, "y"
+    slices the W axis (notebook cell 3: indicator_along_x = max(axis=(0,2))
+    reduces D and W, leaving H), and "z" is the D index as a fraction of
+    the slide count. The published box (capstone/utils/miccai.py:195-197)
+    is this envelope hand-widened to a round safety margin."""
     from ctseg_tpu.utils.miccai import PatientCollection
 
     mins = {ax: [] for ax in "xyz"}
@@ -142,17 +158,17 @@ def crop_envelope(raw_dir) -> Dict[str, Tuple]:
         hi = {ax: [] for ax in "xyz"}
         for name in patient.present_structures():
             m = patient.structures[name].as_numpy()[0]  # (D, H, W)
-            d = m.max(axis=(1, 2)).nonzero()[0]
-            y = m.max(axis=(0, 2)).nonzero()[0]
-            x = m.max(axis=(0, 1)).nonzero()[0]
+            d = m.max(axis=(1, 2)).nonzero()[0]  # D extent -> "z"
+            h = m.max(axis=(0, 2)).nonzero()[0]  # H extent -> "x"
+            w = m.max(axis=(0, 1)).nonzero()[0]  # W extent -> "y"
             if len(d) == 0:
                 continue
             lo["z"].append(d.min() / m.shape[0])
             hi["z"].append(d.max() / m.shape[0])
-            lo["y"].append(y.min())
-            hi["y"].append(y.max())
-            lo["x"].append(x.min())
-            hi["x"].append(x.max())
+            lo["x"].append(h.min())
+            hi["x"].append(h.max())
+            lo["y"].append(w.min())
+            hi["y"].append(w.max())
         return (
             {ax: min(v) for ax, v in lo.items() if v},
             {ax: max(v) for ax, v in hi.items() if v},
@@ -207,7 +223,11 @@ def derive_all(
                 )
                 for ax, (a, b) in crop_envelope(raw_dir).items()
             },
-            "published": {"x": [120, 400], "y": [55, 335], "z": [0.32, 0.99]},
+            "published": {
+                "x": list(CROP_BOUNDARY_X),
+                "y": list(CROP_BOUNDARY_Y),
+                "z": list(CROP_BOUNDARY_Z),
+            },
         }
     return report
 

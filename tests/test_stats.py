@@ -59,28 +59,53 @@ def test_annotation_counts(labels):
     assert counts[2:8].sum() == 0
 
 
+def test_window_shift_matches_production_transform(rng):
+    """Independent oracle: the numpy shift used by the stats derivations
+    must equal the production jnp apply_window (transforms/windowing.py,
+    itself differential-tested against the reference transforms_2d.py:
+    shift normalizes by the FIXED window bounds, not the data min/max)."""
+    import jax.numpy as jnp
+
+    from ctseg_tpu.constants import WINDOW_ORDER, WINDOWING_CONFIG
+    from ctseg_tpu.data.stats import _window_clip_shift
+    from ctseg_tpu.transforms.windowing import apply_window
+
+    img = rng.normal(100, 700, size=(16, 16))
+    for wname in WINDOW_ORDER:
+        width, level = WINDOWING_CONFIG[wname]
+        ours = _window_clip_shift(img, width, level)
+        prod = np.asarray(apply_window(jnp.asarray(img), width, level))
+        np.testing.assert_allclose(ours, prod, rtol=1e-6, atol=1e-7)
+    # hand-computed: soft_tissue (350, 20) -> bounds [-155, 195]; a pixel
+    # at HU=20 sits at (20+155)/350 = 0.5 of the window
+    assert _window_clip_shift(np.full((2, 2), 20.0), 350, 20)[0, 0] == (
+        pytest.approx(0.5, abs=1e-6)
+    )
+
+
 def test_stacked_window_stats_oracle(rng):
     """per_item=False must equal the direct global mean/std of the
-    per-item-shifted windowed values; per_item=True matches the notebook's
-    within-item pooled std (<= global std)."""
-    from ctseg_tpu.data.stats import _window_clip_shift
+    windowed+shifted values (oracle built on the PRODUCTION apply_window);
+    per_item=True matches the notebook's within-item pooled std
+    (<= global std)."""
+    import jax.numpy as jnp
+
     from ctseg_tpu.constants import WINDOW_ORDER, WINDOWING_CONFIG
+    from ctseg_tpu.transforms.windowing import apply_window
 
     imgs = rng.normal(100, 700, size=(5, 16, 16))
     mean_g, std_g = stacked_window_stats(imgs, per_item=False)
     mean_p, std_p = stacked_window_stats(imgs, per_item=True)
     for k, wname in enumerate(WINDOW_ORDER):
         width, level = WINDOWING_CONFIG[wname]
-        shifted = np.stack(
-            [_window_clip_shift(i, width, level) for i in imgs]
-        )
-        assert mean_g[k] == pytest.approx(shifted.mean(), rel=1e-9)
-        assert std_g[k] == pytest.approx(shifted.std(), rel=1e-9)
-        assert mean_p[k] == pytest.approx(shifted.mean(), rel=1e-9)
+        shifted = np.asarray(apply_window(jnp.asarray(imgs), width, level))
+        assert mean_g[k] == pytest.approx(shifted.mean(), rel=1e-6)
+        assert std_g[k] == pytest.approx(shifted.std(), rel=1e-6)
+        assert mean_p[k] == pytest.approx(shifted.mean(), rel=1e-6)
         within = np.sqrt(
             sum(s.var() * s.size for s in shifted) / shifted.size
         )
-        assert std_p[k] == pytest.approx(within, rel=1e-9)
+        assert std_p[k] == pytest.approx(within, rel=1e-6)
         assert std_p[k] <= std_g[k] + 1e-12
 
 
@@ -96,12 +121,13 @@ def test_crop_envelope_contains_all_structures(tmp_path):
         patient = Patient(path)
         d_total = patient.image.as_numpy().shape[1]
         for name in patient.present_structures():
-            m = patient.structures[name].as_numpy()[0]
-            d, y, x = np.nonzero(m)
+            m = patient.structures[name].as_numpy()[0]  # (D, H, W)
+            d, h, w = np.nonzero(m)
             if len(d) == 0:
                 continue
-            assert env["x"][0] <= x.min() and x.max() <= env["x"][1]
-            assert env["y"][0] <= y.min() and y.max() <= env["y"][1]
+            # reference axis convention: "x" slices H, "y" slices W
+            assert env["x"][0] <= h.min() and h.max() <= env["x"][1]
+            assert env["y"][0] <= w.min() and w.max() <= env["y"][1]
             assert env["z"][0] <= d.min() / d_total
             assert d.max() / d_total <= env["z"][1]
 
