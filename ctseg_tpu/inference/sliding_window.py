@@ -179,14 +179,21 @@ def build_sliding_window_fn(
     else:
         importance = jnp.ones(patch_size, jnp.float32)
 
+    # The importance map is a jit ARGUMENT like the params: a default patch
+    # is a ~3 MB f32 array, and closing over it would bake an HLO constant
+    # into every compiled runner (one per volume-shape group in
+    # evaluate_3d_sliding_window) — CLAUDE.md perf rule 2.
     @jax.jit
-    def run(params, volume):
+    def _run(params, volume, importance):
         acc, weight = blend_accumulate(
             volume,
             lambda patches: apply_fn(params, patches),
             starts, patch_size, importance, out_channels, batch_size, mesh,
         )
         return acc / jnp.maximum(weight, 1e-30)
+
+    def run(params, volume):
+        return _run(params, volume, importance)
 
     return run
 
@@ -212,8 +219,12 @@ def sliding_window_inference(
     ndim = len(patch_size)
     assert volume.ndim == ndim + 1, "volume must be (*spatial, C)"
     if out_channels is None:
-        probe = apply_fn(volume[tuple(slice(0, p) for p in patch_size)][None] * 0)
-        out_channels = probe.shape[-1]
+        # Abstract probe: no device work, no extra 30-90s remote compile —
+        # the channel count is a static property of the traced shapes.
+        spec = jax.ShapeDtypeStruct(
+            (1,) + patch_size + (volume.shape[-1],), volume.dtype
+        )
+        out_channels = jax.eval_shape(apply_fn, spec).shape[-1]
     run = build_sliding_window_fn(
         lambda _, patches: apply_fn(patches),
         volume.shape[:ndim], patch_size, overlap, batch_size, mode,

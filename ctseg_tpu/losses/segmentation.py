@@ -41,15 +41,32 @@ def _spatial_axes(x: jnp.ndarray):
     return tuple(range(1, x.ndim - 1))
 
 
-def _masked_matrix_mean(f: jnp.ndarray, sample_mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean of a per-(sample, class) matrix over valid rows only.
-
-    Exactly `f[sample_mask].mean()` but with static shapes: the padded rows
-    an evaluation batch carries (data/pipeline.py padded_epoch) contribute
-    nothing. Differential-tested against slicing in tests/test_losses.py.
-    """
-    m = sample_mask.astype(f.dtype)[:, None]
-    return jnp.sum(f * m) / jnp.maximum(jnp.sum(m) * f.shape[-1], 1.0)
+def _reduce_matrix(
+    f: jnp.ndarray, reduction: str, sample_mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Reduce a per-(sample, class) matrix; every reduction honors
+    sample_mask (padded eval rows — data/pipeline.py padded_epoch —
+    contribute nothing, like the Dice metric's valid mask; the masked mean
+    equals `f[sample_mask].mean()` with static shapes,
+    differential-tested against slicing in tests/test_losses.py). "sum"
+    sums the entries "mean" averages — for losses whose "none" output is a
+    matrix of per-class voxel MEANS (Focal), that is NOT MONAI's
+    voxel-level sum; no reference code path uses "sum" (the wrappers only
+    use mean/none, capstone/models/losses.py:182-203)."""
+    if reduction == "none":
+        return f
+    if sample_mask is not None:
+        m = sample_mask.astype(f.dtype)[:, None]
+        s = jnp.sum(f * m)
+        if reduction == "sum":
+            return s
+        if reduction == "mean":
+            return s / jnp.maximum(jnp.sum(m) * f.shape[-1], 1.0)
+    elif reduction == "mean":
+        return jnp.mean(f)
+    elif reduction == "sum":
+        return jnp.sum(f)
+    raise ValueError(f"unknown reduction {reduction!r}")
 
 
 def cross_entropy_loss(
@@ -63,7 +80,8 @@ def cross_entropy_loss(
 
     logits: (N, *spatial, C); labels: (N, *spatial) int.
     With `weight` (C,), matches torch's weighted mean: sum(w_y * ce) / sum(w_y).
-    `sample_mask` (N,) restricts the mean to valid rows (padded eval batches).
+    `sample_mask` (N,) restricts EVERY reduction to valid rows (padded eval
+    batches contribute nothing to mean or sum).
     """
     # One-hot contraction, not take_along_axis: a voxel gather differentiates
     # to a scatter-add over every voxel, which measured ~14x slower than the
@@ -74,23 +92,28 @@ def cross_entropy_loss(
     w = None
     if weight is not None:
         w = jnp.asarray(weight, dtype=ce.dtype)[labels]
-    if sample_mask is not None and reduction == "mean":
+    if reduction == "none":
+        return ce * w if w is not None else ce
+    if reduction not in ("mean", "sum"):
+        raise ValueError(f"unknown reduction {reduction!r}")
+    m = None
+    if sample_mask is not None:
         m = jnp.broadcast_to(
             sample_mask.astype(ce.dtype).reshape((-1,) + (1,) * (ce.ndim - 1)),
             ce.shape,
         )
-        denom = jnp.sum(w * m) if w is not None else jnp.sum(m)
-        num = jnp.sum(ce * (w * m if w is not None else m))
-        return num / jnp.maximum(denom, 1e-30)
-    if w is not None:
-        if reduction == "mean":
-            return jnp.sum(ce * w) / jnp.sum(w)
-        ce = ce * w
-    if reduction == "mean":
-        return jnp.mean(ce)
+    wm = w if m is None else (w * m if w is not None else m)
+    num = jnp.sum(ce * wm) if wm is not None else jnp.sum(ce)
     if reduction == "sum":
-        return jnp.sum(ce)
-    return ce
+        return num
+    # torch weighted mean: / sum(w_y) (over valid rows); unweighted: / count
+    if wm is not None and w is not None:
+        denom = jnp.sum(wm)
+    elif m is not None:
+        denom = jnp.sum(m)
+    else:
+        denom = jnp.asarray(ce.size, ce.dtype)
+    return num / jnp.maximum(denom, 1e-30)
 
 
 def weighted_cross_entropy_loss(
@@ -137,14 +160,7 @@ def dice_loss(
         target_o = target_o[..., 1:]
         pred_o = pred_o[..., 1:]
     f = 1.0 - (2.0 * intersection + smooth) / (target_o + pred_o + smooth)
-
-    if reduction == "mean":
-        if sample_mask is not None:
-            return _masked_matrix_mean(f, sample_mask)
-        return jnp.mean(f)
-    if reduction == "sum":
-        return jnp.sum(f)
-    return f
+    return _reduce_matrix(f, reduction, sample_mask)
 
 
 def generalized_dice_loss(
@@ -182,14 +198,7 @@ def generalized_dice_loss(
     w = jnp.where(finite, w, w_max)
 
     f = 1.0 - (2.0 * (intersection * w) + smooth_nr) / ((denominator * w) + smooth_dr)
-
-    if reduction == "mean":
-        if sample_mask is not None:
-            return _masked_matrix_mean(f, sample_mask)
-        return jnp.mean(f)
-    if reduction == "sum":
-        return jnp.sum(f)
-    return f
+    return _reduce_matrix(f, reduction, sample_mask)
 
 
 def focal_loss(
@@ -227,12 +236,7 @@ def focal_loss(
     f = jnp.mean(
         target * per_voxel[..., None], axis=_spatial_axes(target)
     )  # (N, C)
-
-    if reduction == "mean":
-        return _masked_matrix_mean(f, sample_mask)
-    if reduction == "sum":
-        return jnp.sum(f)
-    return f
+    return _reduce_matrix(f, reduction, sample_mask)
 
 
 def boundary_loss(
@@ -248,12 +252,8 @@ def boundary_loss(
     """
     probs = jax.nn.softmax(logits, axis=-1)[..., 1:]
     prod = probs * dist_maps.astype(probs.dtype)
-    if reduction == "none":
-        return jnp.mean(prod, axis=_spatial_axes(prod))
-    if sample_mask is not None:
-        per_sample = jnp.mean(prod, axis=_spatial_axes(prod))  # (N, C-1)
-        return _masked_matrix_mean(per_sample, sample_mask)
-    return jnp.mean(prod)
+    f = jnp.mean(prod, axis=_spatial_axes(prod))  # (N, C-1)
+    return _reduce_matrix(f, reduction, sample_mask)
 
 
 def apply_missing_mask(

@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from ctseg_tpu.constants import NUM_CLASSES
 
-_BIG = jnp.float32(1e12)
+# Plain Python float: a module-scope jnp scalar would initialize the JAX
+# backend (and touch the accelerator) as a side effect of importing the
+# package. Cast happens where used.
+_BIG = 1e12
 
 
 def _scan_distance_1d(sites: jnp.ndarray) -> jnp.ndarray:
@@ -28,7 +31,7 @@ def _scan_distance_1d(sites: jnp.ndarray) -> jnp.ndarray:
     sites: (..., W) bool. Returns float distance, _BIG where a row has none.
     """
     w = sites.shape[-1]
-    init = jnp.full(sites.shape[:-1], _BIG)
+    init = jnp.full(sites.shape[:-1], _BIG, jnp.float32)
 
     def fwd(carry, s):
         carry = jnp.where(s, 0.0, carry + 1.0)

@@ -290,7 +290,13 @@ def elastic_transform(
 
 
 def _distortion_map(key, length: int, num_steps: int, distort_limit: float):
-    """Monotone piecewise-linear source-coordinate map (A.GridDistortion)."""
+    """Piecewise-linear source-coordinate map (A.GridDistortion).
+
+    Usually monotone, but NOT guaranteed: when the accumulated per-cell
+    stretch exceeds the axis length, the forced final segment (cur =
+    length) folds backwards over the last partial cell — exactly like
+    Albumentations' own map, whose fold-back this reproduces. Do not
+    assume invertibility."""
     steps = 1.0 + jax.random.uniform(
         key, (num_steps + 1,), jnp.float32, -distort_limit, distort_limit
     )

@@ -271,6 +271,19 @@ def test_sample_mask_equals_slicing(rng):
         masked = float(fx(*args, sample_mask=jm))
         sliced = float(fx(*(a[:n_valid] for a in args)))
         assert masked == pytest.approx(sliced, rel=1e-5), fx.__name__
+        # every reduction honors the mask, not just "mean" (padded rows
+        # must not leak into sums either)
+        masked_sum = float(fx(*args, reduction="sum", sample_mask=jm))
+        sliced_sum = float(fx(*(a[:n_valid] for a in args), reduction="sum"))
+        assert masked_sum == pytest.approx(sliced_sum, rel=1e-5), fx.__name__
+
+
+def test_unknown_reduction_raises(rng):
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, C)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C, size=(2, 8, 8)))
+    for fx in (cross_entropy_loss, dice_loss, focal_loss):
+        with pytest.raises(ValueError, match="reduction"):
+            fx(logits, labels, reduction="batchmean")
 
 
 def test_multi_loss_sample_mask_exclude_missing(rng):
