@@ -23,6 +23,15 @@ import jax.numpy as jnp
 torch_kernel_init = jax.nn.initializers.variance_scaling(
     scale=1.0 / 3.0, mode="fan_in", distribution="uniform"
 )
+# Transposed convs: torch computes the kaiming fan from weight.size(1),
+# which for a ConvTranspose weight (in, out, *k) is OUT_channels — so the
+# bound is 1/sqrt(out * k^ndim), not 1/sqrt(in * k^ndim) (verified against
+# torch.nn.init._calculate_fan_in_and_fan_out on ConvTranspose2d). For the
+# flax kernel layout (*k, in, out), variance_scaling's "fan_out" is exactly
+# out * k^ndim.
+torch_convT_kernel_init = jax.nn.initializers.variance_scaling(
+    scale=1.0 / 3.0, mode="fan_out", distribution="uniform"
+)
 
 
 def _torch_bias_init(fan_in: int):
@@ -160,11 +169,12 @@ class _ConvParams(nn.Module):
     kernel_shape: Any
     fan_in: int
     param_dtype: Any = jnp.float32
+    kernel_init: Any = torch_kernel_init
 
     @nn.compact
     def __call__(self):
         kernel = self.param(
-            "kernel", torch_kernel_init, tuple(self.kernel_shape), self.param_dtype
+            "kernel", self.kernel_init, tuple(self.kernel_shape), self.param_dtype
         )
         bias = self.param(
             "bias",
@@ -490,13 +500,17 @@ class ConvTransposeUnit(nn.Module):
         p = _same_padding(self.kernel_size)
         pad_lo = self.kernel_size - 1 - p
         pad_hi = self.kernel_size - 1 - p + self.stride - 1
-        fan_in = x.shape[-1] * self.kernel_size ** ndim
+        # torch's kaiming fan for a ConvTranspose weight (in, out, *k) reads
+        # weight.size(1) = OUT channels, so both the kernel bound and the bias
+        # bound use out * k^ndim here (see torch_convT_kernel_init above).
+        fan = self.features * self.kernel_size ** ndim
         if self.polyphase and self.stride > 1 and self.kernel_size % 2 == 1:
             kernel, bias = _ConvParams(
                 kernel_shape=(self.kernel_size,) * ndim
                 + (x.shape[-1], self.features),
-                fan_in=fan_in,
+                fan_in=fan,
                 param_dtype=self.param_dtype,
+                kernel_init=torch_convT_kernel_init,
                 name="ConvTranspose_0",
             )()
             x = polyphase_conv_transpose(
@@ -508,8 +522,8 @@ class ConvTransposeUnit(nn.Module):
                 kernel_size=(self.kernel_size,) * ndim,
                 strides=(self.stride,) * ndim,
                 padding=[(pad_lo, pad_hi)] * ndim,
-                kernel_init=torch_kernel_init,
-                bias_init=_torch_bias_init(fan_in),
+                kernel_init=torch_convT_kernel_init,
+                bias_init=_torch_bias_init(fan),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(x)

@@ -92,3 +92,49 @@ def test_prelu_matches_torch(rng):
     tp = nn_t.PReLU()  # single shared parameter, init 0.25 (torch default)
     ref = tp(torch.from_numpy(x)).detach().numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_init_bounds_match_torch_convention():
+    """Every kernel/bias in the UNet param tree is uniform(-b, b) with the
+    torch kaiming_uniform(a=sqrt(5)) bound: b = 1/sqrt(fan * k^ndim), where
+    torch reads the fan from weight.size(1) — IN channels for Conv but OUT
+    channels for ConvTranspose (torch.nn.init._calculate_fan_in_and_fan_out
+    on the (in, out, *k) convT weight layout). Statistical check: max|w| just
+    under b, std ~= b/sqrt(3) for large leaves."""
+    from ctseg_tpu.models.unet import UNet
+
+    model = UNet(out_channels=9, channels=(16, 32, 64, 128, 256),
+                 strides=(2, 2, 2, 2), num_res_units=2)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 1), jnp.float32)
+    )["params"]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    kernels = {}
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        if keys[-1] == "kernel":
+            kernels[keys[:-1]] = np.asarray(leaf)
+    n_checked = 0
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        if any("PReLU" in k for k in keys):
+            np.testing.assert_allclose(np.asarray(leaf), 0.25)
+            continue
+        kshape = kernels[keys[:-1] if keys[-1] == "bias" else keys[:-1]].shape
+        is_transposed = any("ConvTranspose" in k for k in keys)
+        receptive = int(np.prod(kshape[:-2]))
+        fan = (kshape[-1] if is_transposed else kshape[-2]) * receptive
+        bound = 1.0 / np.sqrt(fan)
+        w = np.asarray(leaf)
+        assert np.abs(w).max() <= bound * (1 + 1e-6), keys
+        if w.size >= 64:
+            # max of n iid U(-b,b) concentrates at b; std at b/sqrt(3)
+            assert np.abs(w).max() >= bound * 0.85, keys
+        if w.size >= 2000:
+            np.testing.assert_allclose(
+                w.std(), bound / np.sqrt(3), rtol=0.1, err_msg=str(keys)
+            )
+        n_checked += 1
+    # 5 levels x (res-units + up units) — make sure we actually saw convTs
+    assert n_checked > 20
+    assert any("ConvTranspose" in k for ks in kernels for k in ks)
