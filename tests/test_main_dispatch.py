@@ -1,0 +1,49 @@
+"""`python -m ctseg_tpu` front door: catalog, dispatch table, forwarding.
+
+The reference's entry points are path-run scripts
+(/root/reference/capstone/data/download.py:96,
+training/base_trainer.py:249); here every CLI is a module and the
+dispatcher in ctseg_tpu/__main__.py routes one command namespace to them.
+"""
+
+import importlib
+
+import pytest
+
+from ctseg_tpu.__main__ import COMMANDS, main
+
+
+def test_usage_on_no_args(capsys):
+    assert main([]) == 2
+    out = capsys.readouterr().out
+    for name in COMMANDS:
+        assert name in out
+
+
+def test_help_exits_zero(capsys):
+    assert main(["--help"]) == 0
+    assert "commands:" in capsys.readouterr().out
+
+
+def test_unknown_command(capsys):
+    assert main(["definitely_not_a_command"]) == 2
+    assert "unknown command" in capsys.readouterr().err
+
+
+def test_every_command_targets_an_importable_module_with_main():
+    for name, (module, prefix, desc) in COMMANDS.items():
+        mod = importlib.import_module(module)
+        assert hasattr(mod, "main"), f"{name}: {module} has no main()"
+        assert desc
+        # The train commands ride the shared training parser's subcommands.
+        if module == "ctseg_tpu.training.cli":
+            assert prefix == (name,)
+
+
+def test_forwards_argv_to_target_parser(capsys):
+    # argparse --help raises SystemExit(0) from the *target* module's parser,
+    # proving argv forwarding (stats is the lightest real CLI).
+    with pytest.raises(SystemExit) as e:
+        main(["stats", "--help"])
+    assert e.value.code == 0
+    assert "--data_dir" in capsys.readouterr().out
