@@ -114,15 +114,22 @@ class PackedDataset3D:
 
     Mirrors the reference volumetric dataset (capstone/volumetric/
     datasets.py:11-48): per patient a (D, H, W) image, a (D, H, W) uint8
-    label map, and a (9,) indicator.
+    label map, and a (9,) indicator — plus, unlike the reference's npz
+    contract (which drops the NRRD header), the per-patient voxel
+    `spacings` ((3,) float, z-first like the volume layout; reference
+    capstone/utils/miccai.py:77-82), so surface metrics can report
+    millimetres. `spacings` is None for legacy packed files; callers fall
+    back to voxel units then.
     """
 
-    def __init__(self, images, labels, indicators, names=None):
+    def __init__(self, images, labels, indicators, names=None, spacings=None):
         assert len(images) == len(labels) == len(indicators)
+        assert spacings is None or len(spacings) == len(images)
         self.images = images
         self.labels = labels
         self.indicators = indicators
         self.names = names or [str(i) for i in range(len(images))]
+        self.spacings = spacings
 
     def __len__(self) -> int:
         return len(self.images)
@@ -137,6 +144,10 @@ class PackedDataset3D:
             arrays[f"image_{i}"] = img
             arrays[f"label_{i}"] = lab
             arrays[f"indicator_{i}"] = ind
+            if self.spacings is not None:
+                arrays[f"spacing_{i}"] = np.asarray(
+                    self.spacings[i], np.float32
+                )
         arrays["names"] = np.array(self.names)
         np.savez_compressed(path, **arrays)
 
@@ -145,26 +156,44 @@ class PackedDataset3D:
         with np.load(path, allow_pickle=False) as z:
             names = [str(n) for n in z["names"]]
             n = len(names)
+            spacings = None
+            if n and "spacing_0" in z.files:
+                spacings = [z[f"spacing_{i}"] for i in range(n)]
             return cls(
                 images=[z[f"image_{i}"] for i in range(n)],
                 labels=[z[f"label_{i}"] for i in range(n)],
                 indicators=[z[f"indicator_{i}"] for i in range(n)],
                 names=names,
+                spacings=spacings,
             )
 
 
 def pack_volumes(npz_dir: Union[str, Path]) -> PackedDataset3D:
-    """Pack a directory of per-patient npz volumes into a PackedDataset3D."""
+    """Pack a directory of per-patient npz volumes into a PackedDataset3D.
+
+    Reads the optional per-patient `spacing` the 3D converter writes;
+    a split where no file carries spacing packs with spacings=None
+    (voxel-unit metrics), and a mixed split fills gaps with unit spacing.
+    """
     paths = sorted(Path(npz_dir).glob("*.npz"))
     assert paths, f"no npz volumes found in {npz_dir}"
-    images, labels, indicators, names = [], [], [], []
+    images, labels, indicators, names, spacings = [], [], [], [], []
+    any_spacing = False
     for p in paths:
         with np.load(p) as z:
             img = z["image"]  # (1, D, H, W)
             masks = z["masks"]  # (9, D, H, W)
             ind = z["mask_indicator"]
+            if "spacing" in z.files:
+                spacings.append(z["spacing"].astype(np.float32))
+                any_spacing = True
+            else:
+                spacings.append(np.ones(3, np.float32))
         images.append(img[0].astype(np.float32))
         labels.append(_squash_masks_np(masks))
         indicators.append(ind.astype(np.float32))
         names.append(p.stem)
-    return PackedDataset3D(images, labels, indicators, names)
+    return PackedDataset3D(
+        images, labels, indicators, names,
+        spacings=spacings if any_spacing else None,
+    )

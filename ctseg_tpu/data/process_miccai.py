@@ -74,11 +74,20 @@ def _patient_to_3d(patient: miccai.Patient, save_location: Path, crop: bool = Tr
     masks = np.stack(region_slides)  # (9, D, H, W)
 
     if masks.sum() > 0:
+        extra = {}
+        # Voxel spacing from the NRRD header, z-first like the volume
+        # layout — the reference's npz contract drops it (capstone/data/
+        # process_miccai.py:95-131), leaving surface metrics in voxel
+        # units; carrying it lets HD95 report millimetres downstream.
+        spacing = patient.image.spacing
+        if spacing is not None:
+            extra["spacing"] = np.asarray(spacing, np.float32)
         np.savez(
             (save_location / f"{patient_id}.npz").as_posix(),
             image=vol,
             masks=masks,
             mask_indicator=mask_indicator,
+            **extra,
         )
 
 

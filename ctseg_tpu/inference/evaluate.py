@@ -139,6 +139,9 @@ def evaluate_2d(
             s: (float(v) if n > 0 else None)
             for s, v, n in zip(STRUCTURES, hd_mean, hd_n)
         }
+        # 2D slices carry no voxel spacing (the packed 2D format has none),
+        # so slice HD95 is always in voxel units — labeled as such.
+        result["hd95_unit"] = "voxel"
     return result
 
 
@@ -229,6 +232,12 @@ def evaluate_3d_sliding_window(
     computed on the full volume. `window` applies soft-tissue HU windowing
     (matching the patch trainer); parity-mode resize checkpoints should pass
     window=False.
+
+    HD95 units: when the dataset carries per-patient voxel spacing
+    (PackedDataset3D.spacings, written by the converter from the NRRD
+    header), distances are physical (mm for PDDCA) — comparable to
+    published HaN numbers; legacy packed files without spacing report
+    voxel units. `hd95_unit` in the result records which.
     """
     from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
     from ctseg_tpu.transforms.windowing import apply_window
@@ -247,6 +256,11 @@ def evaluate_3d_sliding_window(
     # single compilation; the chunk bound caps HBM for uniform-shape
     # datasets, and chunks are double-buffered: the next chunk's
     # host->device upload is issued while the current chunk computes.
+    # Per-patient voxel spacing rides along as a traced (3,) argument, so
+    # anisotropic HD95 shares the same compiled program across patients.
+    spacings = getattr(dataset, "spacings", None)
+    use_spacing = with_hd95 and spacings is not None
+
     def make_group_fn(raw_shape):
         d, h, w = raw_shape
         hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
@@ -260,7 +274,7 @@ def evaluate_3d_sliding_window(
             mesh=mesh,
         )
 
-        def one(params, img, lab):
+        def one(params, img, lab, spc):
             # (D, H, W) -> (H, W, D, 1)
             vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
             if window:
@@ -275,14 +289,21 @@ def evaluate_3d_sliding_window(
             if with_hd95:
                 # HD95 on device: never materializes volume-sized
                 # predictions outside the jit (metrics/hd95.py). (value,
-                # valid) pairs like every metric here.
-                hd, hd_ok = hd95_per_structure_device(preds, target, NUM_CLASSES)
+                # valid) pairs like every metric here. `spc` is z-first
+                # (D, H, W); the label maps are (H, W, D).
+                spacing = (
+                    jnp.stack([spc[1], spc[2], spc[0]])
+                    if use_spacing else None
+                )
+                hd, hd_ok = hd95_per_structure_device(
+                    preds, target, NUM_CLASSES, spacing=spacing
+                )
                 return dice[0], valid[0], hd, hd_ok
             return dice[0], valid[0]
 
         @jax.jit
-        def run(params, imgs, labs):
-            return jax.lax.map(lambda t: one(params, *t), (imgs, labs))
+        def run(params, imgs, labs, spcs):
+            return jax.lax.map(lambda t: one(params, *t), (imgs, labs, spcs))
 
         return run
 
@@ -303,14 +324,19 @@ def evaluate_3d_sliding_window(
         shape, idxs = item
         imgs = np.stack([dataset.images[i] for i in idxs])
         labs = np.stack([dataset.labels[i] for i in idxs])
-        return shape, jax.device_put(imgs), jax.device_put(labs)
+        spcs = np.stack(
+            [spacings[i] for i in idxs] if use_spacing
+            else [np.ones(3, np.float32)] * len(idxs)
+        )
+        return shape, jax.device_put(imgs), jax.device_put(labs), \
+            jax.device_put(spcs)
 
     all_dice, all_valid, hd_rows, hd_valid_rows = [], [], [], []
     t0 = time.time()
     staged = stage(items[0])
     for k in range(len(items)):
-        shape, imgs, labs = staged
-        out = group_fns[shape](params, imgs, labs)  # async dispatch
+        shape, imgs, labs, spcs = staged
+        out = group_fns[shape](params, imgs, labs, spcs)  # async dispatch
         if k + 1 < len(items):
             # Double-buffer: upload the next chunk while this one computes.
             staged = stage(items[k + 1])
@@ -344,17 +370,25 @@ def evaluate_3d_sliding_window(
             s: (float(v) if n > 0 else None)
             for s, v, n in zip(STRUCTURES, hd_mean, hd_n)
         }
+        result["hd95_unit"] = "mm" if use_spacing else "voxel"
     return result
 
 
 def format_table(result: Dict) -> str:
-    lines = [f"{'Structure':<18} {'Dice':>8}" + (
-        f" {'HD95':>8}" if "per_structure_hd95" in result else "")]
+    hd_hdr = ""
+    if "per_structure_hd95" in result:
+        # Always label the unit: a bare HD95 column reads as millimetres,
+        # which is wrong for legacy packed data without voxel spacing.
+        unit = {"mm": "mm", "voxel": "vox"}.get(
+            result.get("hd95_unit", "voxel"), "vox"
+        )
+        hd_hdr = f" {f'HD95({unit})':>10}"
+    lines = [f"{'Structure':<18} {'Dice':>8}" + hd_hdr]
     for s in STRUCTURES:
         row = f"{s:<18} {result['per_structure_dice'][s] * 100:>8.2f}"
         if "per_structure_hd95" in result:
             v = result["per_structure_hd95"][s]
-            row += f" {v:>8.2f}" if v is not None else f" {'n/a':>8}"
+            row += f" {v:>10.2f}" if v is not None else f" {'n/a':>10}"
         lines.append(row)
     lines.append(f"{'Mean':<18} {result['mean_dice'] * 100:>8.2f}")
     return "\n".join(lines)

@@ -6,16 +6,18 @@ HD95 = max over directions of the 95th percentile of surface-to-surface
 distances, computed from EDT of each mask's boundary.
 
 Two implementations:
-  - `hd95_per_structure_device`: pure-jnp, jit/vmap-friendly, unit voxel
-    spacing. Surfaces via cross-structuring-element erosion, distances via
-    the exact separable squared EDT (ops/edt.py), percentiles via a
-    binary-search order statistic (squared distances are integer-valued,
-    so the search is exact) with numpy's linear interpolation. Lets
-    whole-volume evaluation keep predictions on device (no volume-sized
-    host transfers).
+  - `hd95_per_structure_device`: pure-jnp, jit/vmap-friendly. Surfaces via
+    cross-structuring-element erosion, distances via the exact separable
+    squared EDT (ops/edt.py), percentiles via a binary-search order
+    statistic with numpy's linear interpolation — integer-exact at unit
+    spacing, fixed-iteration float bisection under anisotropic `spacing`
+    (so HD95 comes out in millimetres when voxel sizes are wired through,
+    matching published HaN numbers; PDDCA z-spacing is ~3x in-plane,
+    reference capstone/utils/miccai.py:77-82). Lets whole-volume
+    evaluation keep predictions on device (no volume-sized host
+    transfers).
   - `hd95` / `hd95_per_structure`: numpy/scipy host path, the differential
-    oracle; additionally supports anisotropic voxel spacing (z-first,
-    matching the Volume layout).
+    oracle (scipy's `sampling=` is the anisotropic ground truth).
 """
 
 import math
@@ -128,17 +130,56 @@ def _masked_order_stat(d2: jnp.ndarray, mask: jnp.ndarray, j: jnp.ndarray,
     return hi.astype(jnp.float32)
 
 
-def _masked_percentile_sqrt(d2, mask, percentile: float, n_iters: int):
-    """sqrt of the masked set of integer d2 values' `percentile`-th
-    percentile (numpy linear interpolation over the sqrt'd values).
-    Returns (value, n_masked)."""
+# Float bisection steps for the anisotropic order statistic. The search
+# interval [0, hi0] halves each step; once its width is below one float32
+# ULP of the answer, `hi` has converged onto the j-th smallest value itself
+# (counts only change at data values). 24 steps burn down the mantissa at
+# the top of the range; the +26 covers answers up to ~2^26 times smaller
+# than hi0 (sub-0.01mm surface distances under a multi-metre search bound).
+_FLOAT_SEARCH_ITERS = 50
+
+
+def _masked_order_stat_float(d2, mask, j, hi0) -> jnp.ndarray:
+    """j-th smallest (0-indexed) of the float d2 entries where `mask` is
+    set: fixed-iteration bisection on [0, hi0] for the smallest t with
+    count(masked d2 <= t) >= j + 1. `hi0` is a (traced) upper bound on the
+    masked values. Used for anisotropic spacing, where squared distances
+    stop being integers; converges to the exact order statistic because
+    counts are piecewise-constant between data values (tests/test_hd95.py
+    pins it against np.percentile through the scipy oracle)."""
+    d2 = d2.ravel()
+    m = mask.ravel()
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = (lo + hi) * 0.5
+        cnt = jnp.sum(jnp.where(m, d2 <= mid, False))
+        found = cnt >= j + 1
+        return jnp.where(found, lo, mid), jnp.where(found, mid, hi)
+
+    lo = jnp.float32(-1.0)  # strictly below any d2, so the invariant
+    hi = hi0.astype(jnp.float32)  # count(<=lo) < j+1 holds from step one
+    lo, hi = jax.lax.fori_loop(0, _FLOAT_SEARCH_ITERS, body, (lo, hi))
+    return hi
+
+
+def _masked_percentile_sqrt(d2, mask, percentile: float, n_iters: int,
+                            hi0=None):
+    """sqrt of the masked set of d2 values' `percentile`-th percentile
+    (numpy linear interpolation over the sqrt'd values). Integer-exact
+    binary search when hi0 is None (unit spacing), float bisection to hi0
+    otherwise (anisotropic spacing). Returns (value, n_masked)."""
     n = jnp.sum(mask)
     pos = (percentile / 100.0) * jnp.maximum(n - 1, 0).astype(jnp.float32)
     lo_idx = jnp.floor(pos).astype(jnp.int32)
     frac = pos - lo_idx.astype(jnp.float32)
     hi_idx = jnp.minimum(lo_idx + 1, jnp.maximum(n - 1, 0))
-    v_lo = jnp.sqrt(_masked_order_stat(d2, mask, lo_idx, n_iters))
-    v_hi = jnp.sqrt(_masked_order_stat(d2, mask, hi_idx, n_iters))
+    if hi0 is None:
+        v_lo = jnp.sqrt(_masked_order_stat(d2, mask, lo_idx, n_iters))
+        v_hi = jnp.sqrt(_masked_order_stat(d2, mask, hi_idx, n_iters))
+    else:
+        v_lo = jnp.sqrt(_masked_order_stat_float(d2, mask, lo_idx, hi0))
+        v_hi = jnp.sqrt(_masked_order_stat_float(d2, mask, hi_idx, hi0))
     return v_lo + frac * (v_hi - v_lo), n
 
 
@@ -148,20 +189,35 @@ def hd95_per_structure_device(
     target_labels: jnp.ndarray,
     n_classes: int = 10,
     percentile: float = 95.0,
+    spacing: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-class HD95 of integer label maps, entirely on device.
 
     pred_labels/target_labels: (*spatial) int label maps (2D or 3D).
+    `spacing`: optional per-axis voxel size in the label maps' axis order —
+    a (ndim,) array, traced, so one compiled program serves every
+    patient's anisotropic spacing. With spacing, HD95 is in the spacing's
+    physical unit (mm for PDDCA headers); without, in voxels.
     Returns ((n_classes - 1,) float32 values, (n_classes - 1,) bool valid)
     with valid=False (and value 0) where either mask is empty — the repo's
     explicit (value, valid) metric convention (no NaN-based reductions:
     they break under jax debug_nans and are XLA-hostile; the host/scipy
     path keeps the reference's nan encoding as the differential oracle).
-    Unit voxel spacing (use the scipy path for anisotropic spacing);
-    matches `hd95_per_structure` to float tolerance (tests/test_hd95.py).
+    Matches `hd95_per_structure` (scipy, `sampling=spacing`) to float
+    tolerance either way (tests/test_hd95.py).
     """
     max_d2 = sum(int(s) ** 2 for s in pred_labels.shape)
     n_iters = max(1, math.ceil(math.log2(max_d2 + 1)))
+    if spacing is None:
+        hi0 = None
+    else:
+        spacing = jnp.asarray(spacing, jnp.float32)
+        extent = jnp.asarray(
+            [s - 1 for s in pred_labels.shape], jnp.float32
+        )
+        # Upper bound on any in-grid squared distance; the bisection only
+        # needs it to dominate values whose (value, valid) pair survives.
+        hi0 = jnp.sum((spacing * extent) ** 2)
 
     def per_class(c):
         pm = pred_labels == c
@@ -170,10 +226,10 @@ def hd95_per_structure_device(
         ts = _surface_device(tm)
         # distance_transform_edt(~surface): distance to the nearest surface
         # voxel of the other mask, evaluated at this mask's surface voxels.
-        d2_to_t = edt_squared(jnp.logical_not(ts))
-        d2_to_p = edt_squared(jnp.logical_not(ps))
-        a, na = _masked_percentile_sqrt(d2_to_t, ps, percentile, n_iters)
-        b, nb = _masked_percentile_sqrt(d2_to_p, ts, percentile, n_iters)
+        d2_to_t = edt_squared(jnp.logical_not(ts), spacing)
+        d2_to_p = edt_squared(jnp.logical_not(ps), spacing)
+        a, na = _masked_percentile_sqrt(d2_to_t, ps, percentile, n_iters, hi0)
+        b, nb = _masked_percentile_sqrt(d2_to_p, ts, percentile, n_iters, hi0)
         ok = jnp.logical_and(na > 0, nb > 0)
         return jnp.where(ok, jnp.maximum(a, b), 0.0), ok
 

@@ -48,45 +48,59 @@ def _scan_distance_1d(sites: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(dist, 0, -1)
 
 
-def _min_plus(d2: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """One separable squared-EDT pass: D2[i] = min_k (d2[k] + (i - k)^2).
+def _min_plus(d2: jnp.ndarray, axis: int, scale=None) -> jnp.ndarray:
+    """One separable squared-EDT pass: D2[i] = min_k (d2[k] + (s*(i - k))^2).
 
-    Exact (the squared EDT is separable per axis); brute-force O(n^2) over
-    the axis, which XLA fuses into the reduction without materializing the
-    (n, n, rest) broadcast.
+    Exact (the squared EDT is separable per axis, with any per-axis scale
+    — the anisotropic squared distance decomposes as a sum over axes of
+    s_ax^2 * delta_ax^2); brute-force O(n^2) over the axis, which XLA fuses
+    into the reduction without materializing the (n, n, rest) broadcast.
+    `scale` may be a traced scalar (voxel spacing along this axis), so one
+    compiled program serves every patient's anisotropic spacing.
     """
     n = d2.shape[axis]
     d2m = jnp.moveaxis(d2, axis, 0)  # (n, ...)
     i = jnp.arange(n, dtype=d2.dtype)
-    cost = (i[:, None] - i[None, :]) ** 2  # (n, n)
+    delta = i[:, None] - i[None, :]  # (n, n)
+    if scale is not None:
+        delta = delta * scale
+    cost = delta**2
     cost = cost.reshape((n, n) + (1,) * (d2m.ndim - 1))
     out = jnp.min(cost + d2m[None], axis=1)
     return jnp.moveaxis(out, 0, axis)
 
 
-def edt_squared(mask: jnp.ndarray) -> jnp.ndarray:
+def edt_squared(mask: jnp.ndarray, spacing=None) -> jnp.ndarray:
     """Exact SQUARED Euclidean distance to the nearest zero of `mask`, N-D.
 
-    scipy.ndimage.distance_transform_edt(mask)**2 semantics at unit spacing:
-    distance is 0 on zeros of the input; an all-ones input gives _BIG.
-    Values are integer-valued floats (sums of squared integer offsets),
-    which downstream percentile code exploits (metrics/hd95.py).
+    scipy.ndimage.distance_transform_edt(mask, sampling=spacing)**2
+    semantics: distance is 0 on zeros of the input; an all-ones input gives
+    _BIG. `spacing` is an optional per-axis voxel size, in `mask`'s axis
+    order — a Python sequence or a traced (ndim,) array (runtime spacing
+    shares one compilation across patients). At unit spacing (None) values
+    are integer-valued floats (sums of squared integer offsets), which
+    downstream percentile code exploits (metrics/hd95.py).
     """
     sites = jnp.logical_not(mask.astype(bool))
-    g = _scan_distance_1d(sites)  # exact 1D distance along the last axis
+    g = _scan_distance_1d(sites)  # exact 1D step count along the last axis
+    if spacing is not None:
+        spacing = jnp.asarray(spacing, jnp.float32)
+        g = g * spacing[-1]
     d2 = jnp.minimum(g * g, _BIG)
     for ax in range(mask.ndim - 1):
-        d2 = _min_plus(d2, ax)
+        scale = None if spacing is None else spacing[ax]
+        d2 = _min_plus(d2, ax, scale)
     return d2
 
 
-def edt(mask: jnp.ndarray) -> jnp.ndarray:
+def edt(mask: jnp.ndarray, spacing=None) -> jnp.ndarray:
     """Euclidean distance from each pixel to the nearest zero of `mask`.
 
     mask: N-D bool/int — scipy.ndimage.distance_transform_edt semantics:
     distance is 0 on zeros of the input, all-ones input gives large values.
+    `spacing`: optional per-axis voxel size (scipy's `sampling=`).
     """
-    return jnp.sqrt(edt_squared(mask))
+    return jnp.sqrt(edt_squared(mask, spacing))
 
 
 def signed_distance_map(mask: jnp.ndarray) -> jnp.ndarray:

@@ -89,6 +89,39 @@ def test_convert_and_pack_3d(tmp_path):
     np.testing.assert_array_equal(back.images[1], ds.images[1])
 
 
+def test_pack_3d_carries_voxel_spacing(tmp_path):
+    """Spacing flows NRRD header -> converter npz -> packed file -> load,
+    z-first (the reference's npz contract drops it; HD95-in-mm needs it).
+    Synth patients have space directions diag(1.1, 1.1, 3.0) in (H, W, D),
+    i.e. (3.0, 1.1, 1.1) z-first."""
+    make_dataset(tmp_path / "raw", n_patients=2, shape=(8, 32, 32))
+    convert_to_3d(tmp_path / "raw", tmp_path / "out", crop=False)
+    ds = pack_volumes(tmp_path / "out")
+    assert ds.spacings is not None and len(ds.spacings) == 2
+    np.testing.assert_allclose(ds.spacings[0], [3.0, 1.1, 1.1], rtol=1e-6)
+    ds.save(tmp_path / "packed3d.npz")
+    back = PackedDataset3D.load(tmp_path / "packed3d.npz")
+    assert back.spacings is not None
+    np.testing.assert_allclose(back.spacings[1], ds.spacings[1])
+
+
+def test_pack_3d_legacy_without_spacing(tmp_path):
+    """Per-patient npz without a spacing key (reference-written files) and
+    legacy packed files load with spacings=None -> voxel-unit metrics."""
+    np.savez(
+        tmp_path / "p0.npz",
+        image=np.zeros((1, 4, 8, 8), np.float32),
+        masks=np.concatenate(
+            [np.ones((1, 4, 8, 8), np.uint8), np.zeros((8, 4, 8, 8), np.uint8)]
+        ),
+        mask_indicator=np.ones(9),
+    )
+    ds = pack_volumes(tmp_path)
+    assert ds.spacings is None
+    ds.save(tmp_path / "packed.npz")
+    assert PackedDataset3D.load(tmp_path / "packed.npz").spacings is None
+
+
 def test_squash_masks_np_overlap():
     masks = np.zeros((9, 4, 4), np.uint8)
     masks[0, 0, 0] = 1  # class 1

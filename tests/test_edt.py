@@ -31,6 +31,37 @@ def test_edt_blob(rng):
     )
 
 
+def test_edt_anisotropic_matches_scipy_2d(rng):
+    """Per-axis spacing == scipy's sampling= (PDDCA voxels are ~3x taller
+    in z than in-plane, so mm-correct metrics need this)."""
+    mask = (rng.random((24, 40)) > 0.8).astype(np.uint8)
+    spacing = (3.0, 1.1)
+    ours = np.asarray(edt(jnp.asarray(mask), spacing=spacing))
+    ref = distance_transform_edt(mask, sampling=spacing)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_edt_anisotropic_matches_scipy_3d(rng):
+    mask = (rng.random((12, 20, 16)) > 0.85).astype(np.uint8)
+    spacing = (2.5, 0.98, 1.27)
+    ours = np.asarray(edt(jnp.asarray(mask), spacing=spacing))
+    ref = distance_transform_edt(mask, sampling=spacing)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_edt_traced_spacing_matches_static(rng):
+    """Spacing as a traced array (one compile shared across patients) gives
+    the same result as the Python-constant path."""
+    import jax
+
+    mask = (rng.random((16, 16, 10)) > 0.8).astype(np.uint8)
+    spacing = np.array([1.1, 1.1, 3.0], np.float32)
+    jitted = jax.jit(lambda m, s: edt(m, spacing=s))
+    ours = np.asarray(jitted(jnp.asarray(mask), jnp.asarray(spacing)))
+    ref = distance_transform_edt(mask, sampling=spacing)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_signed_distance_map_matches_reference_formula(rng):
     mask = np.zeros((3, 24, 24), np.uint8)
     mask[0, 5:12, 5:12] = 1

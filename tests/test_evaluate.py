@@ -59,6 +59,45 @@ def test_evaluate_3d_sliding_window(rng):
     assert 0.0 <= result["mean_dice"] <= 1.0
     assert result["vols_per_min"] > 0
     assert len(result["per_structure_hd95"]) == 9
+    # no spacing on the dataset -> voxel units, labeled in the table
+    assert result["hd95_unit"] == "voxel"
+    assert "HD95(vox)" in format_table(result)
+
+
+def test_evaluate_3d_hd95_in_millimetres(rng):
+    """A dataset with per-patient voxel spacing reports HD95 in mm: unit
+    labeled, and values consistent with scaling the geometry (an isotropic
+    spacing of s scales every surface distance by exactly s)."""
+    images = [rng.normal(40, 200, size=(12, 32, 32)).astype(np.float32)
+              for _ in range(2)]
+    labels = [rng.integers(0, 10, size=(12, 32, 32)).astype(np.uint8)
+              for _ in range(2)]
+    inds = [np.ones(9, np.float32)] * 2
+    ds_unit = PackedDataset3D(images, labels, inds)
+    ds_mm = PackedDataset3D(
+        images, labels, inds,
+        spacings=[np.full(3, 2.5, np.float32)] * 2,
+    )
+
+    cfg = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=1, batch_size=2,
+        loss_fx=("CrossEntropy",), spatial_dims=3,
+        input_shape=(32, 32, 16), in_channels=1,
+    )
+    tr = make_trainer_3d(cfg, mode="patch")
+    state = tr.init_state()
+    kw = dict(patch_size=(32, 32, 16), batch_size=2, with_hd95=True)
+    r_unit = evaluate_3d_sliding_window(tr, state.params, ds_unit, **kw)
+    r_mm = evaluate_3d_sliding_window(tr, state.params, ds_mm, **kw)
+    assert r_unit["hd95_unit"] == "voxel"
+    assert r_mm["hd95_unit"] == "mm"
+    assert "HD95(mm)" in format_table(r_mm)
+    for s, v in r_mm["per_structure_hd95"].items():
+        u = r_unit["per_structure_hd95"][s]
+        if v is None or u is None:
+            assert v is None and u is None
+            continue
+        np.testing.assert_allclose(v, 2.5 * u, rtol=1e-4, atol=1e-4)
 
 
 def test_evaluate_3d_sliding_window_mesh_matches_single(rng):

@@ -81,6 +81,61 @@ def test_device_matches_scipy_blobs(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "shape,spacing",
+    [((24, 24), (3.0, 1.1)), ((16, 20, 12), (1.1, 0.98, 2.5))],
+)
+def test_device_anisotropic_matches_scipy(rng, shape, spacing):
+    """Anisotropic device HD95 (float-bisection order statistic over the
+    spacing-scaled EDT) == scipy path with sampling=spacing: HD95 in mm."""
+    pred = rng.integers(0, 4, size=shape)
+    target = rng.integers(0, 4, size=shape)
+    target[target == 2] = 0
+    ref = hd95_per_structure(pred, target, n_classes=4, spacing=spacing)
+    vals, ok = hd95_per_structure_device(
+        jnp.asarray(pred), jnp.asarray(target), 4,
+        spacing=jnp.asarray(spacing, jnp.float32),
+    )
+    ours = np.where(np.asarray(ok), np.asarray(vals), np.nan)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_device_anisotropic_blobs(rng):
+    """Structured masks under PDDCA-like spacing (z 3x in-plane)."""
+    pred = np.zeros((20, 24, 12), np.int32)
+    target = np.zeros((20, 24, 12), np.int32)
+    pred[4:14, 4:14, 3:9] = 1
+    target[6:16, 5:15, 4:10] = 1
+    spacing = (1.1, 1.1, 3.0)
+    ref = hd95_per_structure(pred, target, n_classes=2, spacing=spacing)
+    vals, ok = hd95_per_structure_device(
+        jnp.asarray(pred), jnp.asarray(target), 2,
+        spacing=jnp.asarray(spacing, jnp.float32),
+    )
+    assert bool(np.asarray(ok)[0])
+    np.testing.assert_allclose(
+        np.asarray(vals)[0], ref[0], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_device_unit_spacing_array_matches_none(rng):
+    """spacing=ones goes down the float-bisection path and must agree with
+    the integer-exact unit path."""
+    pred = rng.integers(0, 3, size=(24, 24))
+    target = rng.integers(0, 3, size=(24, 24))
+    v0, ok0 = hd95_per_structure_device(
+        jnp.asarray(pred), jnp.asarray(target), 3
+    )
+    v1, ok1 = hd95_per_structure_device(
+        jnp.asarray(pred), jnp.asarray(target), 3,
+        spacing=jnp.ones(2, jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    np.testing.assert_allclose(
+        np.asarray(v0), np.asarray(v1), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_device_all_percentiles(rng):
     """The order-statistic binary search is exact at any percentile."""
     pred = np.zeros((40, 40), np.int32)
