@@ -65,7 +65,9 @@ class TrainConfig:
     plateau_factor: float = 0.5
     plateau_patience: int = 10
     plateau_threshold: float = 0.01
-    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    # "bfloat16" for MXU-friendly training; "float64" for CPU differential
+    # tests (params + compute + losses all f64; requires jax_enable_x64).
+    compute_dtype: str = "float32"
     # Fuse stride-1 3x3 conv+IN+PReLU units into one Pallas kernel (TPU).
     # Checkpoint-compatible with the unfused path; infeasible shapes fall
     # back to XLA automatically.
@@ -150,8 +152,23 @@ class Trainer:
             and mesh.shape["space"] > 1
             and config.spatial_dims == 3
         )
-        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        # "float64" exists for differential tests (e.g. the two-process
+        # trainer-equivalence run, tests/test_distributed.py) where reduction
+        # -order noise must sit far below any real bug; TPUs have no f64.
+        dtype = {
+            "bfloat16": jnp.bfloat16, "float64": jnp.float64
+        }.get(config.compute_dtype, jnp.float32)
+        self._compute_dtype = dtype
+        # Losses/metrics run in f32 under bf16 compute (numerics rule), and
+        # in f64 under f64 compute (full-precision differentials).
+        self._metric_dtype = (
+            jnp.float64 if config.compute_dtype == "float64" else jnp.float32
+        )
+        param_dtype = (
+            jnp.float64 if config.compute_dtype == "float64" else jnp.float32
+        )
         self.model = SegmentationModel(
+            param_dtype=param_dtype,
             out_channels=NUM_CLASSES,
             channels=tuple(config.filters),
             # one stride-2 stage between consecutive filter levels, matching
@@ -261,7 +278,7 @@ class Trainer:
         return self.model.apply(params, images)
 
     def _losses_and_logits(self, params, images, labels, indicators, sample_mask=None):
-        logits = self._forward(params, images).astype(jnp.float32)
+        logits = self._forward(params, images).astype(self._metric_dtype)
         dist_maps = (
             signed_distance_maps_from_labels(labels) if self.needs_dist_maps else None
         )
@@ -274,9 +291,7 @@ class Trainer:
         images, labels = batched_transform(
             self.train_transform, k_transform, images_raw, labels_raw
         )
-        images = images.astype(
-            jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
-        )
+        images = images.astype(self._compute_dtype)
 
         if self.config.mixup:
             mixed, index, lam = weighted_mixup(
@@ -284,7 +299,7 @@ class Trainer:
             )
 
             def loss_fn(params):
-                logits = self._forward(params, mixed).astype(jnp.float32)
+                logits = self._forward(params, mixed).astype(self._metric_dtype)
                 dist_maps = (
                     signed_distance_maps_from_labels(labels)
                     if self.needs_dist_maps

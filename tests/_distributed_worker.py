@@ -1,10 +1,15 @@
-"""Worker for the real multi-process distributed test (not a pytest module).
+"""Worker for the real multi-process distributed tests (not a pytest module).
 
-Launched twice by tests/test_distributed.py::test_two_process_collectives
-with JAX_PLATFORMS=cpu and 2 virtual CPU devices per process. Exercises the
-full multi-host path of ctseg_tpu.parallel.distributed — initialize,
-global_mesh over both processes, host_local_batch_to_global, and a jitted
-cross-process reduction (XLA inserts the all-reduce over gloo).
+Launched twice by tests/test_distributed.py with JAX_PLATFORMS=cpu and 2
+virtual CPU devices per process. Two modes:
+  - collectives (default): initialize, global_mesh over both processes,
+    host_local_batch_to_global, and a jitted cross-process reduction (XLA
+    inserts the all-reduce over gloo).
+  - train <out.npy>: build a real Trainer on the global mesh, run the
+    jitted _train_step for N_STEPS with per-process LOCAL batch shards,
+    print per-step losses, and dump the final flattened param vector —
+    the pytest parent compares it against a single-process oracle run
+    (multi-host gradient all-reduce correctness, SURVEY §5.8).
 """
 
 import sys
@@ -12,6 +17,7 @@ import sys
 import jax
 
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -21,6 +27,46 @@ from ctseg_tpu.parallel.distributed import (  # noqa: E402
     host_local_batch_to_global,
     initialize,
 )
+
+
+def train_mode(out_path: str) -> None:
+    """Real multi-host training: every process feeds only ITS batch rows."""
+    import _dist_common as common  # noqa: E402 (tests/ is on sys.path)
+
+    from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+    mesh = global_mesh()
+    trainer = Trainer(TrainConfig(**common.train_config_kwargs()), mesh=mesh)
+    state = trainer.init_state()
+    key = jax.random.key(7)
+
+    pid = jax.process_index()
+    local = common.GLOBAL_BATCH // jax.process_count()
+    lo = pid * local
+    losses = []
+    for s, (images, labels, inds) in enumerate(common.global_batches()):
+        batch = host_local_batch_to_global(
+            (
+                images[lo : lo + local],
+                labels[lo : lo + local],
+                inds[lo : lo + local],
+            ),
+            mesh,
+        )
+        state, metrics = trainer._train_step(
+            state, batch, jax.random.fold_in(key, s)
+        )
+        # loss/total is fully replicated -> fetchable on every process; it
+        # already includes the cross-process gradient story (the loss is
+        # computed from the globally-sharded batch).
+        losses.append(float(metrics["loss/total"]))
+
+    flat = np.concatenate(
+        [np.asarray(jax.device_get(x)).ravel()
+         for x in jax.tree.leaves(state.params)]
+    )
+    np.save(out_path, flat)
+    print("LOSSES " + " ".join(f"{v:.17e}" for v in losses), flush=True)
 
 
 def main() -> None:
@@ -34,6 +80,10 @@ def main() -> None:
     assert jax.process_count() == num_processes, jax.process_count()
     assert jax.local_device_count() == 2, jax.local_device_count()
     assert jax.device_count() == 2 * num_processes, jax.device_count()
+
+    if len(sys.argv) > 4 and sys.argv[4] == "train":
+        train_mode(sys.argv[5])
+        return
 
     mesh = global_mesh()
     assert mesh.size == 2 * num_processes

@@ -59,9 +59,9 @@ def test_make_mesh_2d():
     assert mesh.shape == {"data": 4, "space": 2}
 
 
-def test_two_process_collectives():
-    """initialize + global_mesh + host_local_batch_to_global across two real
-    OS processes (2 virtual CPU devices each; all-reduce over gloo)."""
+def _launch_workers(extra_args, timeout=180):
+    """Run tests/_distributed_worker.py twice (2 CPU devices each), return
+    per-process outputs."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -78,7 +78,7 @@ def test_two_process_collectives():
     worker = str(repo / "tests" / "_distributed_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), "2"],
+            [sys.executable, worker, str(port), str(i), "2", *extra_args(i)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -89,7 +89,7 @@ def test_two_process_collectives():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -97,4 +97,64 @@ def test_two_process_collectives():
         pytest.fail(f"distributed workers timed out; partial output: {outs}")
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
+    return outs
+
+
+def test_two_process_collectives():
+    """initialize + global_mesh + host_local_batch_to_global across two real
+    OS processes (2 virtual CPU devices each; all-reduce over gloo)."""
+    outs = _launch_workers(lambda i: [])
+    for out in outs:
         assert "OK 96.0" in out, out
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """REAL multi-host training correctness: two OS processes each feed only
+    their local batch rows into the jitted Trainer._train_step over the
+    global 4-device mesh (gradient all-reduce over gloo); the resulting
+    param trajectory must equal a single-process 4-device mesh run on the
+    same global batches (f64). The reference's DDP-equivalent claim
+    (SURVEY §5.8) made concrete."""
+    from _dist_common import global_batches, train_config_kwargs
+
+    from ctseg_tpu.training.trainer import TrainConfig, Trainer
+
+    # ---- single-process oracle (all 4 devices in this process)
+    mesh = make_mesh(4)
+    trainer = Trainer(TrainConfig(**train_config_kwargs()), mesh=mesh)
+    state = trainer.init_state()
+    key = jax.random.key(7)
+    oracle_losses = []
+    for s, batch in enumerate(global_batches()):
+        batch = jax.device_put(batch, batch_sharding(mesh))
+        state, metrics = trainer._train_step(
+            state, batch, jax.random.fold_in(key, s)
+        )
+        oracle_losses.append(float(metrics["loss/total"]))
+    oracle_flat = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree.leaves(state.params)]
+    )
+
+    # ---- two real processes, local shards only
+    out_paths = [tmp_path / f"params_{i}.npy" for i in range(2)]
+    outs = _launch_workers(
+        lambda i: ["train", str(out_paths[i])], timeout=300
+    )
+
+    worker_losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("LOSSES ")]
+        assert lines, out
+        worker_losses.append([float(v) for v in lines[0].split()[1:]])
+    # both processes observed the same per-step global losses...
+    assert worker_losses[0] == worker_losses[1]
+    # ...equal to the single-process run (f64; gloo vs XLA reduction order
+    # may differ in the last bits)
+    np.testing.assert_allclose(
+        worker_losses[0], oracle_losses, rtol=1e-9, atol=1e-12
+    )
+    # and the final parameter trees match across processes AND topologies.
+    flats = [np.load(p) for p in out_paths]
+    np.testing.assert_array_equal(flats[0], flats[1])
+    assert flats[0].shape == oracle_flat.shape
+    np.testing.assert_allclose(flats[0], oracle_flat, rtol=1e-9, atol=1e-12)
