@@ -76,6 +76,11 @@ COMMANDS: dict[str, tuple[str, tuple[str, ...], str]] = {
         (),
         "GradCAM maps for all 9 structures over the test split",
     ),
+    "parity": (
+        "parity_report",
+        (),
+        "per-organ Dice parity report vs the reference's published table",
+    ),
 }
 
 
@@ -97,8 +102,24 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown command: {name!r}\n\n{_usage()}", file=sys.stderr)
         return 2
     module, prefix, _ = COMMANDS[name]
+    # Save/restore the global argv: runpy's alter_sys restores only
+    # argv[0], and programmatic callers (tests, embedders) must not see a
+    # clobbered sys.argv after main() returns.
+    saved_argv = sys.argv
     sys.argv = [f"python -m ctseg_tpu {name}", *prefix, *rest]
-    runpy.run_module(module, run_name="__main__", alter_sys=True)
+    try:
+        try:
+            runpy.run_module(module, run_name="__main__", alter_sys=True)
+        except ImportError as e:
+            if module == "parity_report":
+                raise SystemExit(
+                    "parity_report.py lives at the repo root — run "
+                    "`python -m ctseg_tpu parity` from the repository "
+                    f"checkout (import failed: {e})"
+                ) from e
+            raise
+    finally:
+        sys.argv = saved_argv
     return 0
 
 

@@ -404,7 +404,18 @@ def main(argv=None):
         "checkpoints run whole-volume sliding-window evaluation (auto-"
         "detected from the checkpoint's embedded hparams, like predict.py)."
     )
-    parser.add_argument("--checkpoint", type=str, required=True)
+    from ctseg_tpu.models.released import (
+        add_released_args,
+        resolve_checkpoint_arg,
+    )
+
+    parser.add_argument(
+        "--checkpoint",
+        type=str,
+        default=None,
+        help="native checkpoint dir or a reference Lightning .ckpt file",
+    )
+    add_released_args(parser)
     parser.add_argument("--data_dir", type=str, default=None)
     parser.add_argument("--split", type=str, default="test")
     parser.add_argument("--batch_size", type=int, default=64)
@@ -437,7 +448,7 @@ def main(argv=None):
 
         mesh = make_mesh(n_dev)
 
-    trainer, state = Trainer.restore(args.checkpoint, mesh=mesh)
+    trainer, state = Trainer.restore(resolve_checkpoint_arg(args), mesh=mesh)
 
     if trainer.config.spatial_dims == 3:
         data_dir = Path(

@@ -188,8 +188,18 @@ def main():
     from ctseg_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from ctseg_tpu.models.released import (
+        add_released_args,
+        resolve_checkpoint_arg,
+    )
+
     parser = ArgumentParser(description="Segment CT scans with a checkpoint")
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="native checkpoint dir or a reference Lightning .ckpt file",
+    )
+    add_released_args(parser)
     parser.add_argument(
         "--input", required=True,
         help="img.nrrd, a patient dir, or a dir of patient dirs",
@@ -206,7 +216,7 @@ def main():
                         help="write only the label map")
     args = parser.parse_args()
 
-    trainer, state = Trainer.restore(args.checkpoint)
+    trainer, state = Trainer.restore(resolve_checkpoint_arg(args))
     for name, img_path in _scan_paths(Path(args.input)):
         volume = Volume.from_nrrd(img_path)
         labels = predict_scan(

@@ -197,8 +197,18 @@ def main():
     from ctseg_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from ctseg_tpu.models.released import (
+        add_released_args,
+        resolve_checkpoint_arg,
+    )
+
     parser = ArgumentParser(description="Serve a segmentation checkpoint")
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="native checkpoint dir or a reference Lightning .ckpt file",
+    )
+    add_released_args(parser)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--no_crop", action="store_true")
@@ -211,15 +221,16 @@ def main():
     )
     args = parser.parse_args()
 
+    checkpoint = resolve_checkpoint_arg(args)
     service = SegmentationService(
-        args.checkpoint, crop=not args.no_crop,
+        checkpoint, crop=not args.no_crop,
         patch_size=tuple(args.patch_size), overlap=args.overlap,
     )
     if args.warmup:
         secs = service.warmup(tuple(args.warmup))
         print(f"warmup {tuple(args.warmup)}: {secs:.1f}s")
     server = serve(service, args.host, args.port)
-    print(f"serving {args.checkpoint} on http://{args.host}:{args.port}")
+    print(f"serving {checkpoint} on http://{args.host}:{args.port}")
     server.serve_forever()
 
 

@@ -1,9 +1,12 @@
 """Interpretability driver (reference capstone/interpretability.py parity).
 
-Loads a trained checkpoint, walks the test split, skips samples with fewer
-than 5 annotated structures (interpretability.py:76-78), and writes
-prediction/GT overlay panels plus per-structure GradCAM heatmaps to disk
-(PNG via matplotlib when available, .npy always). W&B upload stays optional.
+Loads a trained checkpoint (native dir or released Lightning .ckpt), walks
+the test split, skips samples with fewer than 5 annotated structures
+(interpretability.py:76-78), and writes prediction/GT overlay panels plus
+per-structure GradCAM heatmaps to disk (PNG via matplotlib when available,
+.npy always). With `--use_wandb` (or any active wandb run) the overlays and
+heatmaps also upload to W&B, like the reference's driver
+(interpretability.py:34-48).
 
 Unlike the reference's per-sample loop (one forward + 9 Captum backward
 passes per sample, interpretability.py:70-104), qualifying samples run in
@@ -34,9 +37,40 @@ from ctseg_tpu.transforms.pipelines import batched_transform
 
 def _write_sample(out_dir: Path, name: str, img0: np.ndarray,
                   preds: np.ndarray, cams: np.ndarray) -> None:
-    """Artifacts for ONE sample: .npy always, overlay PNG when possible."""
+    """Artifacts for ONE sample: .npy always, overlay PNG when possible,
+    and — reference parity (interpretability.py:34-48 logs overlays to a
+    W&B project) — upload to an ACTIVE wandb run if one exists."""
     np.save(out_dir / f"{name}_gradcam.npy", cams)
     np.save(out_dir / f"{name}_pred.npy", preds)
+    try:
+        import wandb
+
+        if wandb.run is not None:
+            base01 = (img0 - img0.min()) / max(
+                float(img0.max() - img0.min()), 1e-8
+            )
+            semantic = wandb.Image(
+                np.repeat(base01[..., None], 3, -1),
+                masks={
+                    "predictions": {
+                        "mask_data": preds,
+                        "class_labels": {
+                            i + 1: s for i, s in enumerate(STRUCTURES)
+                        },
+                    }
+                },
+            )
+            wandb.log(
+                {
+                    f"interpret/{name}": semantic,
+                    **{
+                        f"interpret/{name}_cam_{s}": wandb.Image(cams[s_idx])
+                        for s_idx, s in enumerate(STRUCTURES)
+                    },
+                }
+            )
+    except ImportError:
+        pass
     try:
         import matplotlib
 
@@ -104,17 +138,44 @@ def main():
     from ctseg_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from ctseg_tpu.models.released import (
+        add_released_args,
+        resolve_checkpoint_arg,
+    )
+
     parser = ArgumentParser()
-    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument(
+        "--checkpoint",
+        type=str,
+        default=None,
+        help="native checkpoint dir or a reference Lightning .ckpt file",
+    )
+    add_released_args(parser)
     parser.add_argument("--data_dir", type=str, default=None)
     parser.add_argument("--out_dir", type=str, default="interpretability")
     parser.add_argument("--max_samples", type=int, default=20)
     parser.add_argument("--min_structures", type=int, default=5)
     parser.add_argument("--layer", type=str, default="feat_down1")
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument(
+        "--use_wandb", action="store_true", default=False,
+        help="upload overlays/heatmaps to a W&B run (reference "
+        "interpretability.py:34-48)",
+    )
+    parser.add_argument("--experiment_name", type=str, default="interpret")
     args = parser.parse_args()
 
-    trainer, state = Trainer.restore(args.checkpoint)
+    if args.use_wandb:
+        try:
+            import wandb
+
+            wandb.init(
+                project="ct-image-segmentation", name=args.experiment_name
+            )
+        except ImportError:
+            print("wandb not installed; writing artifacts to disk only")
+
+    trainer, state = Trainer.restore(resolve_checkpoint_arg(args))
     data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
     dataset = PackedDataset2D.load(data_dir / "test_packed.npz")
     done = run_interpretability(

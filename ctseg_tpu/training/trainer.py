@@ -619,6 +619,32 @@ class Trainer:
 
     @classmethod
     def restore(cls, path, mesh=None) -> Tuple["Trainer", TrainState]:
+        """Restore a (trainer, state) pair from `path`.
+
+        `path` is either a native checkpoint directory (written by `save`)
+        or a reference Lightning `.ckpt` FILE — the released Model L/M
+        weights load directly in every CLI that restores by path
+        (models/torch_import.py; the reference's load-released workflow,
+        capstone/interpretability.py:28-31)."""
+        from pathlib import Path as _Path
+
+        p = _Path(path)
+        if p.is_file() and p.suffix == ".ckpt":
+            from ctseg_tpu.models.torch_import import (
+                load_reference_checkpoint,
+            )
+
+            config, params = load_reference_checkpoint(str(p))
+            trainer = cls(config, mesh=mesh)
+            state = TrainState(
+                step=jnp.asarray(0, jnp.int32),
+                params=params,
+                opt_state=adam_init(params),
+                plateau=plateau_init(config.lr, mode="max"),
+            )
+            if trainer._replicated is not None:
+                state = jax.device_put(state, trainer._replicated)
+            return trainer, state
         config = TrainConfig.from_dict(ckpt.load_hparams(path))
         trainer = cls(config, mesh=mesh)
         template = trainer.init_state()

@@ -105,56 +105,12 @@ def run_model(name, data_dir, args):
     return result
 
 
-# Released-checkpoint filenames per parity model (reference paths.py:46-49:
-# Model L = model_large.ckpt, Model M (mixup) = model_mixup.ckpt).
-RELEASED_FILES = {"model_l": "model_large.ckpt", "model_m": "model_mixup.ckpt"}
-
-
-def resolve_released(source: str, name: str, out_dir: Path) -> Path:
-    """Resolve --from_released to a local .ckpt for `name`.
-
-    `source` may be a local directory holding the released files, a local
-    .ckpt file, or a URL prefix/full URL (fetched with urllib — blocked in
-    zero-egress environments, in which case the error says exactly what to
-    download). Defaults to the reference's GitHub release URLs
-    (ctseg_tpu.paths.TRAINED_MODELS) when source == "github".
-    """
-    from ctseg_tpu.paths import TRAINED_MODELS
-
-    fname = RELEASED_FILES[name]
-    if source == "github":
-        url = TRAINED_MODELS["large" if name == "model_l" else "mixup"]
-    elif source.startswith(("http://", "https://")):
-        url = source if source.endswith(".ckpt") else f"{source.rstrip('/')}/{fname}"
-    else:
-        p = Path(source)
-        local = p if p.is_file() else p / fname
-        if not local.exists():
-            raise FileNotFoundError(
-                f"--from_released: {local} not found (expected the released "
-                f"checkpoint {fname}; see ctseg_tpu.paths.TRAINED_MODELS)"
-            )
-        return local
-    dest = out_dir / fname
-    if dest.exists():
-        return dest
-    import os
-    import urllib.request
-
-    # Download to a .tmp name and rename on success (the checkpoint.py
-    # pattern): an interrupted urlretrieve must not leave a truncated
-    # .ckpt behind that a rerun's dest.exists() would silently reuse.
-    tmp = out_dir / (fname + ".tmp")
-    try:
-        urllib.request.urlretrieve(url, tmp)  # noqa: S310 — pinned URLs
-        os.replace(tmp, dest)
-    except Exception as e:  # zero-egress container: say what to fetch
-        tmp.unlink(missing_ok=True)
-        raise RuntimeError(
-            f"could not download {url} ({e}); fetch it on a connected "
-            f"machine and pass --from_released <dir containing {fname}>"
-        ) from e
-    return dest
+# Shared with predict/serve/interpret/evaluate (the released-checkpoint
+# workflow is one module now); re-exported here for back-compat.
+from ctseg_tpu.models.released import (  # noqa: E402
+    RELEASED_FILES,
+    resolve_released,
+)
 
 
 def evaluate_checkpoint(ckpt_path, name, data_dir, args):

@@ -47,3 +47,21 @@ def test_forwards_argv_to_target_parser(capsys):
         main(["stats", "--help"])
     assert e.value.code == 0
     assert "--data_dir" in capsys.readouterr().out
+
+
+def test_parity_command_dispatches(capsys):
+    # parity_report.py lives at the repo root; the dispatcher reaches it and
+    # forwards --help to ITS parser.
+    with pytest.raises(SystemExit) as e:
+        main(["parity", "--help"])
+    assert e.value.code == 0
+    assert "--from_released" in capsys.readouterr().out
+
+
+def test_main_restores_sys_argv():
+    import sys
+
+    before = list(sys.argv)
+    with pytest.raises(SystemExit):
+        main(["stats", "--help"])
+    assert sys.argv == before
