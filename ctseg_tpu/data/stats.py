@@ -61,10 +61,22 @@ def class_weights(labels: np.ndarray) -> Dict[str, float]:
     foreground = counts[1:].sum()
     # Deviation from the notebook (documented): the notebook divides raw
     # counts — valid because every class is present in PDDCA's train split.
-    # A class absent from an arbitrary split has its count clamped to 1
-    # (it gets the maximum weight) instead of producing inf/nan.
-    w = foreground / np.maximum(counts[1:], 1)
-    w = w / w.sum()
+    # A class ABSENT from an arbitrary split is excluded from the
+    # normalization (weight 0.0, with a warning) instead of producing
+    # inf/nan or — the earlier clamp-to-1 behavior — a weight orders of
+    # magnitude above every present class that crushed the rest to ~0.
+    present = counts[1:] > 0
+    if not present.all():
+        import warnings
+
+        missing = [s for s, p in zip(STRUCTURES, present) if not p]
+        warnings.warn(
+            f"class_weights: no pixels for {missing}; these classes get "
+            "weight 0 and are excluded from the normalization",
+            stacklevel=2,
+        )
+    w = np.where(present, foreground / np.maximum(counts[1:], 1), 0.0)
+    w = w / max(w.sum(), 1e-30)
     out = {"Background": 1e-10}
     out.update({s: float(v) for s, v in zip(STRUCTURES, w)})
     return out

@@ -48,7 +48,11 @@ from ctseg_tpu.training.trainer import Trainer
 DEFAULT_PLATFORMS = ("cpu", "tpu")
 
 
-def _model_for_dtype(trainer: Trainer, infer_dtype: Optional[str]):
+def _model_for_dtype(
+    trainer: Trainer,
+    infer_dtype: Optional[str],
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+):
     """The trainer's model, optionally recast to an inference compute dtype.
 
     Params stay float32 (param_dtype is untouched); flax casts activations
@@ -57,19 +61,22 @@ def _model_for_dtype(trainer: Trainer, infer_dtype: Optional[str]):
     bfloat16 (41x) — an f32-trained checkpoint should usually be exported
     with infer_dtype='bfloat16' for TPU serving.
 
-    The Pallas fusion / polyphase flags are always cloned OFF: their TPU
-    Mosaic custom calls cannot lower for the 'cpu' platform the artifact
-    also targets, and all three are parameter-free drop-ins for the plain
-    XLA path (checkpoint-compatible by design), so the exported numerics
-    are unchanged.
+    The Pallas fusion / polyphase flags are cloned OFF when 'cpu' is among
+    the target platforms: their TPU Mosaic custom calls cannot lower for
+    CPU, and all three are parameter-free drop-ins for the plain XLA path
+    (checkpoint-compatible by design), so the exported numerics are
+    unchanged. A TPU-only export (--platforms tpu) keeps the checkpoint's
+    fusion flags, preserving the measured Pallas speedups in the artifact.
     """
-    overrides = dict(fused_norm_act=False, fused_conv_block=False,
-                     polyphase_up=False)
+    overrides = {}
+    if "cpu" in platforms:
+        overrides.update(fused_norm_act=False, fused_conv_block=False,
+                         polyphase_up=False)
     if infer_dtype not in (None, "checkpoint"):
         overrides["dtype"] = (
             jnp.bfloat16 if infer_dtype == "bfloat16" else jnp.float32
         )
-    return trainer.model.clone(**overrides)
+    return trainer.model.clone(**overrides) if overrides else trainer.model
 
 
 def export_slice_model(
@@ -90,7 +97,7 @@ def export_slice_model(
         raise ValueError("export_slice_model needs a 2D checkpoint")
     h, w = slice_shape
     key = jax.random.key(0)  # test transform is deterministic
-    model = _model_for_dtype(trainer, infer_dtype)
+    model = _model_for_dtype(trainer, infer_dtype, platforms)
 
     def infer(slices):
         def one(img):
@@ -125,7 +132,7 @@ def export_patch_model(
     from ctseg_tpu.transforms.windowing import apply_window
 
     ph, pw, pd = patch_size
-    model = _model_for_dtype(trainer, infer_dtype)
+    model = _model_for_dtype(trainer, infer_dtype, platforms)
 
     def infer(patches):
         vol = apply_window(patches[..., None].astype(jnp.float32), 350, 20, shift=True)

@@ -80,6 +80,26 @@ def test_export_drops_tpu_only_fusion_flags(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_tpu_only_export_keeps_fusion_flags():
+    """--platforms tpu keeps the checkpoint's Pallas fusion flags in the
+    artifact (the measured speedups survive); only a cpu target forces
+    them off."""
+    from ctseg_tpu.inference.export import _model_for_dtype
+
+    cfg = TrainConfig(filters=(4, 8), num_res_units=1, input_size=32,
+                      transform_degree=0, fused_norm=True, fused_conv=True,
+                      polyphase_up=True)
+    tr = Trainer(cfg)
+    model = _model_for_dtype(tr, None, platforms=("tpu",))
+    assert model.fused_norm_act == tr.model.fused_norm_act
+    assert model.fused_conv_block
+    assert model.polyphase_up
+    # dtype override still applies without touching the fusion flags
+    model_bf16 = _model_for_dtype(tr, "bfloat16", platforms=("tpu",))
+    assert model_bf16.dtype == jnp.bfloat16
+    assert model_bf16.fused_conv_block
+
+
 def test_symbolic_batch(trainer2d, tmp_path):
     tr, state = trainer2d
     exported = export_slice_model(tr, state.params, slice_shape=(48, 48),

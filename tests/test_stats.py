@@ -38,16 +38,27 @@ def test_class_pixel_counts(labels):
 
 
 def test_class_weights_formula(labels):
-    w = class_weights(labels)
+    # absent classes are excluded (weight 0) with a warning, so the present
+    # classes keep the notebook's relative proportions.
+    with pytest.warns(UserWarning, match="no pixels"):
+        w = class_weights(labels)
     fg = 16 + 64 + 4 + 6
     raw = {"BrainStem": fg / 80, "Chiasm": fg / 4, "Submandibular_R": fg / 6}
-    # absent classes get fg / max(0, 1) = fg
-    for s in STRUCTURES:
-        raw.setdefault(s, fg / 1)
     total = sum(raw.values())
     assert w["Background"] == 1e-10
     for s in STRUCTURES:
-        assert w[s] == pytest.approx(raw[s] / total)
+        assert w[s] == pytest.approx(raw.get(s, 0.0) / total)
+    assert sum(w[s] for s in STRUCTURES) == pytest.approx(1.0)
+
+
+def test_class_weights_all_present_no_warning(rng):
+    import warnings
+
+    labs = rng.integers(0, 10, size=(4, 24, 24)).astype(np.uint8)
+    assert (np.bincount(labs.ravel(), minlength=10)[1:] > 0).all()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        w = class_weights(labs)
     assert sum(w[s] for s in STRUCTURES) == pytest.approx(1.0)
 
 
