@@ -43,12 +43,21 @@ _DTYPE_TO_NRRD_TYPE = {
 }
 
 
+class NrrdError(ValueError):
+    """Malformed or unsupported NRRD content (subclass of ValueError so
+    existing `except ValueError` callers keep working)."""
+
+
 def _parse_vector(text: str) -> np.ndarray:
     text = text.strip()
     if text == "none":
         return None
-    assert text.startswith("(") and text.endswith(")"), f"bad vector: {text}"
-    return np.array([float(v) for v in text[1:-1].split(",")])
+    if not (text.startswith("(") and text.endswith(")")):
+        raise NrrdError(f"bad NRRD vector (want '(a,b,...)'): {text!r}")
+    try:
+        return np.array([float(v) for v in text[1:-1].split(",")])
+    except ValueError as e:
+        raise NrrdError(f"bad NRRD vector components: {text!r}") from e
 
 
 def _parse_space_directions(text: str) -> np.ndarray:
@@ -84,15 +93,41 @@ def read(path: Union[str, Path]) -> Tuple[np.ndarray, Dict]:
                 raise ValueError(f"unparseable NRRD header line: {text!r}")
         payload = f.read()
 
-    sizes = np.array([int(v) for v in str(header["sizes"]).split()])
+    if "data file" in header or "datafile" in header:
+        raise NotImplementedError(
+            f"{path}: detached NRRD data files (.nhdr) are not supported; "
+            "convert to an attached-data .nrrd"
+        )
+    for required in ("sizes", "type"):
+        if required not in header:
+            raise NrrdError(f"{path}: NRRD header missing {required!r} field")
+    try:
+        sizes = np.array([int(v) for v in str(header["sizes"]).split()])
+    except ValueError as e:
+        raise NrrdError(
+            f"{path}: unparseable sizes: {header['sizes']!r}"
+        ) from e
+    if sizes.size == 0 or (sizes <= 0).any():
+        raise NrrdError(f"{path}: non-positive NRRD sizes: {sizes.tolist()}")
     header["sizes"] = sizes
     header["dimension"] = int(header.get("dimension", len(sizes)))
+    if header["dimension"] != len(sizes):
+        raise NrrdError(
+            f"{path}: dimension {header['dimension']} does not match "
+            f"{len(sizes)} sizes"
+        )
     if "space directions" in header and isinstance(header["space directions"], str):
         header["space directions"] = _parse_space_directions(header["space directions"])
     if "space origin" in header and isinstance(header["space origin"], str):
         header["space origin"] = _parse_vector(header["space origin"])
 
-    base = _NRRD_TYPE_TO_DTYPE[str(header["type"]).lower()]
+    type_name = str(header["type"]).lower()
+    if type_name not in _NRRD_TYPE_TO_DTYPE:
+        raise NrrdError(
+            f"{path}: unsupported NRRD element type {header['type']!r} "
+            f"(supported: {sorted(set(_NRRD_TYPE_TO_DTYPE))})"
+        )
+    base = _NRRD_TYPE_TO_DTYPE[type_name]
     endian = str(header.get("endian", "little")).lower()
     dtype = np.dtype(("<" if endian == "little" else ">") + base)
     if dtype.itemsize == 1:
@@ -100,11 +135,24 @@ def read(path: Union[str, Path]) -> Tuple[np.ndarray, Dict]:
 
     encoding = str(header.get("encoding", "raw")).lower()
     if encoding in ("gzip", "gz"):
-        payload = gzip.decompress(payload)
+        try:
+            payload = gzip.decompress(payload)
+        except (OSError, EOFError) as e:
+            raise NrrdError(
+                f"{path}: corrupt gzip payload ({e}); the file may be "
+                "truncated"
+            ) from e
     elif encoding != "raw":
         raise NotImplementedError(f"NRRD encoding {encoding!r} not supported")
 
     count = int(np.prod(sizes))
+    if len(payload) < count * dtype.itemsize:
+        raise NrrdError(
+            f"{path}: truncated NRRD payload: header promises "
+            f"{count * dtype.itemsize} bytes "
+            f"({'x'.join(map(str, sizes))} of {header['type']}), "
+            f"file has {len(payload)}"
+        )
     data = np.frombuffer(payload, dtype=dtype, count=count)
     # NRRD orders values with the first listed axis varying fastest.
     array = data.reshape(tuple(sizes), order="F")
@@ -121,7 +169,13 @@ def write(
     path = Path(path)
     header = dict(header or {})
     array = np.asarray(array)
-    nrrd_type = _DTYPE_TO_NRRD_TYPE[array.dtype.newbyteorder("=")]
+    native = array.dtype.newbyteorder("=")
+    if native not in _DTYPE_TO_NRRD_TYPE:
+        raise NrrdError(
+            f"cannot write dtype {array.dtype} as NRRD (supported: "
+            f"{sorted(str(d) for d in _DTYPE_TO_NRRD_TYPE)})"
+        )
+    nrrd_type = _DTYPE_TO_NRRD_TYPE[native]
 
     lines = ["NRRD0004", "# written by ctseg_tpu"]
     lines.append(f"type: {nrrd_type}")

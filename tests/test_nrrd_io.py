@@ -49,3 +49,174 @@ def test_rejects_non_nrrd(tmp_path):
     p.write_bytes(b"not an nrrd file")
     with pytest.raises(ValueError):
         nrrd_io.read(p)
+
+
+# ------------------------------------------------------- malformed inputs
+# The codec replaces pynrrd everywhere, so a malformed real-world header is
+# the most likely first-contact failure with real data (reference reads via
+# pynrrd, capstone/utils/miccai.py:286-296). Every failure mode gets a
+# specific, actionable error.
+
+
+def _nrrd_bytes(headers, payload=b""):
+    return ("\n".join(["NRRD0004", *headers]) + "\n\n").encode() + payload
+
+
+@pytest.mark.parametrize("dtype", [np.int8, np.uint16, np.int32, np.uint32,
+                                   np.int64, np.float64])
+@pytest.mark.parametrize("encoding", ["raw", "gzip"])
+def test_round_trip_all_dtypes(tmp_path, rng, dtype, encoding):
+    """Property: write->read is the identity for every supported dtype and
+    encoding, across 1D/2D/4D shapes."""
+    for shape in [(11,), (5, 3), (2, 3, 2, 4)]:
+        if np.issubdtype(dtype, np.floating):
+            arr = rng.standard_normal(shape).astype(dtype)
+        else:
+            info = np.iinfo(dtype)
+            arr = rng.integers(
+                max(info.min, -1000), min(info.max, 1000), size=shape
+            ).astype(dtype)
+        p = tmp_path / "v.nrrd"
+        nrrd_io.write(p, arr, encoding=encoding)
+        back, header = nrrd_io.read(p)
+        np.testing.assert_array_equal(back, arr)
+        assert back.dtype == arr.dtype
+
+
+def test_crlf_header_lines(tmp_path, rng):
+    """Windows-written NRRDs use CRLF line endings everywhere."""
+    arr = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    p = tmp_path / "crlf.nrrd"
+    body = (
+        b"NRRD0004\r\n"
+        b"type: uint8\r\n"
+        b"dimension: 2\r\n"
+        b"sizes: 2 3\r\n"
+        b"encoding: raw\r\n"
+        b"\r\n" + arr.tobytes(order="F")
+    )
+    p.write_bytes(body)
+    back, header = nrrd_io.read(p)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_unknown_fields_preserved(tmp_path):
+    arr = np.zeros((2, 2), np.uint8)
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "dimension: 2", "sizes: 2 2", "encoding: raw",
+         "content: synthetic", "custom:=some value"],
+        arr.tobytes(order="F"),
+    ))
+    _, header = nrrd_io.read(p)
+    assert header["content"] == "synthetic"
+    assert header["custom"] == "some value"
+
+
+def test_truncated_payload_clear_error(tmp_path):
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint16", "dimension: 2", "sizes: 4 4", "encoding: raw",
+         "endian: little"],
+        b"\x00" * 10,  # needs 32
+    ))
+    with pytest.raises(ValueError, match="truncated.*32 bytes.*has 10"):
+        nrrd_io.read(p)
+
+
+def test_truncated_gzip_clear_error(tmp_path, rng):
+    arr = rng.integers(0, 255, size=(16, 16)).astype(np.uint8)
+    p = tmp_path / "v.nrrd"
+    nrrd_io.write(p, arr, encoding="gzip")
+    data = p.read_bytes()
+    p.write_bytes(data[: len(data) - 8])  # chop the gzip tail
+    with pytest.raises(ValueError, match="gzip|truncated"):
+        nrrd_io.read(p)
+
+
+def test_missing_required_fields(tmp_path):
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(["type: uint8", "encoding: raw"]))
+    with pytest.raises(ValueError, match="missing 'sizes'"):
+        nrrd_io.read(p)
+    p.write_bytes(_nrrd_bytes(["sizes: 2 2", "encoding: raw"]))
+    with pytest.raises(ValueError, match="missing 'type'"):
+        nrrd_io.read(p)
+
+
+def test_bad_sizes(tmp_path):
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "sizes: 2 banana", "encoding: raw"]))
+    with pytest.raises(ValueError, match="unparseable sizes"):
+        nrrd_io.read(p)
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "sizes: 2 0", "encoding: raw"]))
+    with pytest.raises(ValueError, match="non-positive"):
+        nrrd_io.read(p)
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "dimension: 3", "sizes: 2 2", "encoding: raw"],
+        b"\x00" * 4))
+    with pytest.raises(ValueError, match="dimension 3 does not match"):
+        nrrd_io.read(p)
+
+
+def test_unknown_type_and_encoding(tmp_path):
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: quaternion", "sizes: 2 2", "encoding: raw"], b"\x00" * 4))
+    with pytest.raises(ValueError, match="unsupported NRRD element type"):
+        nrrd_io.read(p)
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "sizes: 2 2", "encoding: bzip2"], b"\x00" * 4))
+    with pytest.raises(NotImplementedError, match="bzip2"):
+        nrrd_io.read(p)
+
+
+def test_detached_data_file_clear_error(tmp_path):
+    p = tmp_path / "v.nhdr"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "sizes: 2 2", "encoding: raw",
+         "data file: v.raw"]))
+    with pytest.raises(NotImplementedError, match="detached"):
+        nrrd_io.read(p)
+
+
+def test_bad_vector_fields(tmp_path):
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "sizes: 2 2", "encoding: raw",
+         "space origin: 1,2"], b"\x00" * 4))
+    with pytest.raises(ValueError, match="bad NRRD vector"):
+        nrrd_io.read(p)
+
+
+def test_write_unsupported_dtype(tmp_path):
+    with pytest.raises(ValueError, match="cannot write dtype"):
+        nrrd_io.write(tmp_path / "v.nrrd", np.zeros((2, 2), np.float16))
+
+
+def test_big_endian_payload(tmp_path):
+    """endian: big headers decode correctly (PDDCA is little, but the
+    format allows both)."""
+    arr = np.array([[1, 2], [300, 4]], dtype=">u2")
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint16", "dimension: 2", "sizes: 2 2", "encoding: raw",
+         "endian: big"],
+        arr.tobytes(order="F"),
+    ))
+    back, _ = nrrd_io.read(p)
+    np.testing.assert_array_equal(back.astype(np.uint16), arr.astype(np.uint16))
+
+
+def test_extra_trailing_bytes_tolerated(tmp_path):
+    """Some writers pad the payload; extra bytes beyond sizes are ignored."""
+    arr = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "dimension: 2", "sizes: 2 2", "encoding: raw"],
+        arr.tobytes(order="F") + b"\x99\x99",
+    ))
+    back, _ = nrrd_io.read(p)
+    np.testing.assert_array_equal(back, arr)
