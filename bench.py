@@ -48,8 +48,11 @@ RAW = 280  # post-crop slice size of the real pipeline
 WARMUP_STEPS = 3
 TIMED_STEPS = 20
 
-# 3D patch config (EVIDENCE volumetric recipe / BASELINE.json config #3).
-BATCH_3D = 2
+# 3D patch config (BASELINE.json config #3 model/patch family). Batch 128
+# is the measured-throughput batch on v5e (perf/probe_3d_v5e.json: MFU
+# 0.024 at the EVIDENCE recipe's batch 2 -> 0.39 at 128; deeper patches
+# lose); the batch-2 recipe number lives in EVIDENCE under volumetric_3d.
+BATCH_3D = 128
 PATCH_3D = (128, 128, 16)  # (H, W, D)
 TIMED_STEPS_3D = 10
 

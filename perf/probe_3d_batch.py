@@ -75,14 +75,21 @@ def probe(batch, patch):
 
 
 def main():
+    from ctseg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     results = []
     for batch, patch in [
         (2, (128, 128, 16)),
         (4, (128, 128, 16)),
         (8, (128, 128, 16)),
         (16, (128, 128, 16)),
+        (32, (128, 128, 16)),
+        (64, (128, 128, 16)),
+        (128, (128, 128, 16)),
         (4, (128, 128, 32)),
         (8, (128, 128, 32)),
+        (16, (128, 128, 32)),
         (2, (128, 128, 48)),
         (4, (128, 128, 48)),
     ]:
@@ -91,6 +98,17 @@ def main():
         results.append(r)
     best = max(results, key=lambda r: r["mfu"])
     print("best:", json.dumps(best))
+    out = {
+        "device": jax.devices()[0].device_kind,
+        "what": (
+            "full jitted 3D patch train step (filters 64..1024, "
+            "num_res_units=2, CE+Dice) vs batch size and patch depth"
+        ),
+        "results": results,
+        "best": best,
+    }
+    with open("perf/probe_3d_v5e.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
