@@ -147,17 +147,36 @@ class PatchPipeline3D:
                 jax.random.uniform(kd, (batch_size,)) * (dmax + 1)
             ).astype(jnp.int32)
 
-            def gather(i, t, l, f):
-                start = (
-                    t.astype(jnp.int32),
-                    l.astype(jnp.int32),
-                    f.astype(jnp.int32),
-                )
-                img = jax.lax.dynamic_slice(images[i], start, (ph, pw, pd))
-                lab = jax.lax.dynamic_slice(labels[i], start, (ph, pw, pd))
-                return img, lab
+            # Patch extraction as a sequential loop of 4D dynamic_slice +
+            # dynamic_update_slice pairs: each iteration is one DMA copy.
+            # Measured on v5e at batch 128 x (128,128,16) from a
+            # (4,280,280,120) stack (perf/probe_patch_gather.py,
+            # patch_gather_v5e.json): 5.2 ms vs 38.2 ms for the vmapped
+            # per-sample dynamic_slice (XLA lowers that to a gather at
+            # ~14 GB/s effective) and 29 ms for one-hot selection matmuls
+            # (pure data movement has no reuse for the MXU to exploit —
+            # the counter-case to the selection-matmul rule). Bit-identical
+            # output to the vmapped form.
+            imgs_b = jnp.zeros((batch_size, ph, pw, pd), images.dtype)
+            labs_b = jnp.zeros((batch_size, ph, pw, pd), labels.dtype)
 
-            imgs_b, labs_b = jax.vmap(gather)(vol_idx, top, left, front)
+            def copy_one(b, carry):
+                oi, ol = carry
+                start = (
+                    vol_idx[b].astype(jnp.int32),
+                    top[b].astype(jnp.int32),
+                    left[b].astype(jnp.int32),
+                    front[b].astype(jnp.int32),
+                )
+                img = jax.lax.dynamic_slice(images, start, (1, ph, pw, pd))
+                lab = jax.lax.dynamic_slice(labels, start, (1, ph, pw, pd))
+                oi = jax.lax.dynamic_update_slice(oi, img, (b, 0, 0, 0))
+                ol = jax.lax.dynamic_update_slice(ol, lab, (b, 0, 0, 0))
+                return oi, ol
+
+            imgs_b, labs_b = jax.lax.fori_loop(
+                0, batch_size, copy_one, (imgs_b, labs_b)
+            )
             inds_b = jnp.take(indicators, vol_idx, axis=0)
             return imgs_b, labs_b, inds_b
 
