@@ -169,6 +169,8 @@ def volumetric_demo(ws: Path, epochs: int, patch, filters):
     state = trainer.init_state()
     pipe = PatchPipeline3D(train, config.batch_size, patch_size=patch)
     state = trainer.fit(state, pipe, None, epochs=epochs)
+    # Saved for the cold/warm eval-CLI stage (and as a usable artifact).
+    trainer.save(ws / "ckpt_3d", state)
 
     result = evaluate_3d_sliding_window(
         trainer, state.params, test, patch_size=patch, overlap=0.5,
@@ -189,11 +191,119 @@ def volumetric_demo(ws: Path, epochs: int, patch, filters):
         "epochs": epochs,
         "test_mean_dice": result["mean_dice"],
         "per_structure_hd95": result.get("per_structure_hd95"),
+        "hd95_unit": result.get("hd95_unit"),
         "vols_per_min_eval_path_including_compile_and_transfers": result[
             "vols_per_min"
         ],
         "steady_state_vols_per_min_device_resident": steady,
         "num_volumes": result["num_volumes"],
+    }
+
+
+def eval_cold_warm(ws: Path, patch) -> dict:
+    """The 3D eval CLI run twice in fresh subprocesses sharing one FRESH
+    persistent compile cache: first invocation pays every remote XLA
+    compile (the EVIDENCE_r3 'regression' — in-loop compiles dominate the
+    cold path on a tunneled chip), second hits the cache. Captures both
+    vols/min plus the cache size, so the cold->warm story lives in a
+    regenerable artifact instead of prose (PARITY.md's 24x claim)."""
+    import os
+    import subprocess
+
+    cache = ws / "xla_cache_coldwarm"
+    if cache.exists():
+        import shutil
+
+        shutil.rmtree(cache)  # the point is a COLD first invocation
+    runs = []
+    for label in ("cold", "warm"):
+        out = ws / f"eval_{label}.json"
+        env = dict(
+            os.environ,
+            CTSEG_COMPILATION_CACHE=str(cache),
+            CTSEG_DATA_STORAGE=str(ws),
+        )
+        t0 = time.time()
+        subprocess.run(
+            [
+                sys.executable, "-m", "ctseg_tpu.inference.evaluate",
+                "--checkpoint", str(ws / "ckpt_3d"),
+                "--data_dir", str(ws / "miccai_3d"),
+                "--split", "test", "--hd95",
+                "--patch_size", *map(str, patch),
+                "--out", str(out),
+            ],
+            check=True, env=env, cwd="/root/repo",
+        )
+        wall = time.time() - t0
+        r = json.loads(out.read_text())
+        runs.append(
+            {
+                "invocation": label,
+                "vols_per_min": r["vols_per_min"],
+                "mean_dice": r["mean_dice"],
+                "hd95_unit": r.get("hd95_unit"),
+                "cli_wall_s": round(wall, 1),
+                "cache_entries_after": len(list(cache.glob("*"))),
+            }
+        )
+    return {
+        "what": (
+            "evaluate CLI cold vs warm persistent-compile-cache "
+            "invocations (fresh cache dir, same chip/data/checkpoint)"
+        ),
+        "runs": runs,
+        "warm_over_cold_vols_per_min": round(
+            runs[1]["vols_per_min"] / max(runs[0]["vols_per_min"], 1e-9), 2
+        ),
+    }
+
+
+def model_m_inversion_note() -> "dict | None":
+    """Attach the measured explanation for the synthetic Model M < Model L
+    Dice ordering (the reference's published real-PDDCA ordering is M >= L,
+    Report.pdf Table 2). Numbers from perf/model_m_diagnosis.py's one-factor
+    factorial (same data/seed, 200 epochs each); regenerate with
+      python perf/diagnose_model_m.py --workspace /tmp/ws_diag
+    """
+    path = Path(__file__).parent / "model_m_diagnosis.json"
+    if not path.exists():
+        return None
+    d = json.loads(path.read_text())
+    variants = {
+        v["variant"]: round(v["test_mean_dice"], 4) for v in d["variants"]
+    }
+    return {
+        "what": (
+            "why synthetic Model M (ru=1, Focal+Dice+Boundary, weighted "
+            "mixup) scores below Model L (ru=2, Focal+Dice) while the "
+            "reference's real-PDDCA ordering is M >= L"
+        ),
+        "factorial_mean_dice": variants,
+        "explanation": (
+            "The inversion is the num_res_units 1-vs-2 capacity drop alone: "
+            "ru=1 with Model L's losses already loses the full gap "
+            f"(A={variants.get('A_modelL_ru2_fd')} vs "
+            f"B={variants.get('B_ru1_fd')}), and adding Boundary "
+            f"(D={variants.get('D_ru1_fdb')}) or the full Model M recipe "
+            f"(E={variants.get('E_modelM_ru1_fdb_mixup')}) moves nothing. "
+            "The two mechanisms that make M win on real PDDCA are "
+            "structurally absent on the synthetic distribution: weighted "
+            "partner sampling degenerates to near-uniform (entropy ratio "
+            f"{d['partner_sampling']['entropy_ratio_vs_uniform']} vs "
+            "uniform) because synthetic slices average "
+            f"{round(d['partner_sampling']['structures_present_per_slice_mean'], 2)} "
+            "structures present (real PDDCA's rare-structure imbalance "
+            "drives the inverse-annotation weighting), and mixup's "
+            "regularization pays off only where overfitting binds (529 real "
+            "slices of natural anatomy; not these separable synthetic "
+            "shapes — mixup alone LOWERS ru=1 synthetic Dice to "
+            f"{variants.get('C_ru1_fd_mixup')}). Not a framework bug: the "
+            "mixup train step is pinned against torch bit-for-bit in "
+            "tests/test_trajectory_oracle.py."
+        ),
+        "lambda_distribution": d["lambda_distribution"],
+        "partner_sampling": d["partner_sampling"],
     }
 
 
@@ -335,7 +445,7 @@ def export_demo(trainer, state, batch: int = 32, slice_shape=(280, 280)):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="smoke run")
-    ap.add_argument("--out", default="EVIDENCE_r3.json")
+    ap.add_argument("--out", default="EVIDENCE_r4.json")
     ap.add_argument(
         "--workspace", default=None,
         help="persistent workspace dir (cached across runs); default tmp",
@@ -391,6 +501,9 @@ def main():
             ws, epochs_3d, patch, filters
         )
         print(json.dumps(evidence["volumetric_3d"], indent=1))
+        print("stage: eval cold/warm cache", flush=True)
+        evidence["eval_cold_warm_cache"] = eval_cold_warm(ws, patch)
+        print(json.dumps(evidence["eval_cold_warm_cache"], indent=1))
         trainer, state, test = handle
         evidence["gradcam"] = gradcam_demo(trainer, state, test)
         print(json.dumps(evidence["gradcam"], indent=1))
@@ -405,6 +518,10 @@ def main():
             slice_shape=(96, 96) if args.fast else (280, 280),
         )
         print(json.dumps(evidence["stablehlo_export"], indent=1))
+
+    note = model_m_inversion_note()
+    if note is not None:
+        evidence["model_m_vs_l_synthetic_inversion"] = note
 
     if not args.fast:
         with open(args.out, "w") as f:
