@@ -257,16 +257,44 @@ class ConvUnit(nn.Module):
                     x, kernel, bias, alpha, default_interpret()
                 )
 
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size,) * ndim,
-            strides=(self.stride,) * ndim,
-            padding=[(pad, pad)] * ndim,
-            kernel_init=torch_kernel_init,
-            bias_init=_torch_bias_init(fan_in),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        from ctseg_tpu.ops.shallow_grad import conv_smallc, smallc_supported
+
+        if smallc_supported(
+            x.shape[-1], self.features, self.stride, self.kernel_size,
+            ndim=ndim,
+        ):
+            # Shallow-channel conv (the decoder's out_channels=10 sites):
+            # identical forward, but the weight gradient uses the
+            # batch-as-contracted-feature formulation — XLA's native dW
+            # runs at ~6% of HBM bandwidth there because C=10 fills 10/128
+            # lanes (ops/shallow_grad.py, perf/probe_convgrad_shallow.py).
+            # Params are declared under nn.Conv's name so the tree (and
+            # every checkpoint) is unchanged.
+            kernel, bias = _ConvParams(
+                kernel_shape=(self.kernel_size,) * ndim
+                + (x.shape[-1], self.features),
+                fan_in=fan_in,
+                param_dtype=self.param_dtype,
+                name="Conv_0",
+            )()
+            x = conv_smallc(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                bias.astype(self.dtype),
+                self.stride,
+                pad,
+            )
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel_size,) * ndim,
+                strides=(self.stride,) * ndim,
+                padding=[(pad, pad)] * ndim,
+                kernel_init=torch_kernel_init,
+                bias_init=_torch_bias_init(fan_in),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
         if not self.conv_only:
             if self.fused_norm_act:
                 x = PReLU(
@@ -504,6 +532,11 @@ class ConvTransposeUnit(nn.Module):
         # weight.size(1) = OUT channels, so both the kernel bound and the bias
         # bound use out * k^ndim here (see torch_convT_kernel_init above).
         fan = self.features * self.kernel_size ** ndim
+        from ctseg_tpu.ops.shallow_grad import (
+            conv_transpose_smallc,
+            smallc_supported,
+        )
+
         if self.polyphase and self.stride > 1 and self.kernel_size % 2 == 1:
             kernel, bias = _ConvParams(
                 kernel_shape=(self.kernel_size,) * ndim
@@ -515,6 +548,29 @@ class ConvTransposeUnit(nn.Module):
             )()
             x = polyphase_conv_transpose(
                 x, kernel, bias, self.stride, self.dtype
+            )
+        elif smallc_supported(
+            x.shape[-1], self.features, self.stride, self.kernel_size,
+            transpose=True, ndim=ndim,
+        ):
+            # Top decoder level (features == out_channels == 10): same
+            # forward as nn.ConvTranspose, lane-efficient weight gradient
+            # (ops/shallow_grad.py). Params under nn.ConvTranspose's name —
+            # tree and checkpoints unchanged.
+            kernel, bias = _ConvParams(
+                kernel_shape=(self.kernel_size,) * ndim
+                + (x.shape[-1], self.features),
+                fan_in=fan,
+                param_dtype=self.param_dtype,
+                kernel_init=torch_convT_kernel_init,
+                name="ConvTranspose_0",
+            )()
+            x = conv_transpose_smallc(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                bias.astype(self.dtype),
+                self.stride,
+                self.kernel_size,
             )
         else:
             x = nn.ConvTranspose(
