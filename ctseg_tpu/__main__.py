@@ -15,6 +15,7 @@ own argparse, so `python -m ctseg_tpu evaluate --help` is exactly
 
 from __future__ import annotations
 
+import importlib.util
 import runpy
 import sys
 
@@ -107,17 +108,17 @@ def main(argv: list[str] | None = None) -> int:
     # clobbered sys.argv after main() returns.
     saved_argv = sys.argv
     sys.argv = [f"python -m ctseg_tpu {name}", *prefix, *rest]
+    # Check resolvability up front (find_spec, no execution): an
+    # ImportError raised WHILE the command runs (e.g. a missing optional
+    # dependency deep in its work) must propagate as itself, not be
+    # misreported as a cwd problem.
+    if module == "parity_report" and importlib.util.find_spec(module) is None:
+        raise SystemExit(
+            "parity_report.py lives at the repo root — run "
+            "`python -m ctseg_tpu parity` from the repository checkout"
+        )
     try:
-        try:
-            runpy.run_module(module, run_name="__main__", alter_sys=True)
-        except ImportError as e:
-            if module == "parity_report":
-                raise SystemExit(
-                    "parity_report.py lives at the repo root — run "
-                    "`python -m ctseg_tpu parity` from the repository "
-                    f"checkout (import failed: {e})"
-                ) from e
-            raise
+        runpy.run_module(module, run_name="__main__", alter_sys=True)
     finally:
         sys.argv = saved_argv
     return 0

@@ -14,6 +14,7 @@ writes), in sorted order for cross-OS determinism (reference
 capstone/data/datasets.py:29-32).
 """
 
+import warnings
 from pathlib import Path
 from typing import Dict, Optional, Tuple, Union
 
@@ -171,14 +172,18 @@ class PackedDataset3D:
 def pack_volumes(npz_dir: Union[str, Path]) -> PackedDataset3D:
     """Pack a directory of per-patient npz volumes into a PackedDataset3D.
 
-    Reads the optional per-patient `spacing` the 3D converter writes;
-    a split where no file carries spacing packs with spacings=None
-    (voxel-unit metrics), and a mixed split fills gaps with unit spacing.
+    Reads the optional per-patient `spacing` the 3D converter writes. A
+    split where no file carries spacing packs with spacings=None
+    (voxel-unit metrics). A MIXED split (some files missing spacing, e.g.
+    one NRRD without 'space directions') also packs with spacings=None and
+    warns naming the offending files: back-filling unit spacing would let
+    downstream HD95 silently average voxel-unit distances into a table
+    labeled millimetres.
     """
     paths = sorted(Path(npz_dir).glob("*.npz"))
     assert paths, f"no npz volumes found in {npz_dir}"
     images, labels, indicators, names, spacings = [], [], [], [], []
-    any_spacing = False
+    missing_spacing = []
     for p in paths:
         with np.load(p) as z:
             img = z["image"]  # (1, D, H, W)
@@ -186,14 +191,24 @@ def pack_volumes(npz_dir: Union[str, Path]) -> PackedDataset3D:
             ind = z["mask_indicator"]
             if "spacing" in z.files:
                 spacings.append(z["spacing"].astype(np.float32))
-                any_spacing = True
             else:
+                missing_spacing.append(p.name)
                 spacings.append(np.ones(3, np.float32))
         images.append(img[0].astype(np.float32))
         labels.append(_squash_masks_np(masks))
         indicators.append(ind.astype(np.float32))
         names.append(p.stem)
+    if missing_spacing and len(missing_spacing) < len(paths):
+        warnings.warn(
+            "pack_volumes: no voxel spacing for "
+            f"{missing_spacing} while other volumes carry it; packing the "
+            "whole split WITHOUT spacing (surface metrics fall back to "
+            "voxel units) rather than mixing units under one label. "
+            "Re-convert those patients from NRRDs with 'space directions' "
+            "to get millimetre metrics."
+        )
+    have_spacing = not missing_spacing
     return PackedDataset3D(
         images, labels, indicators, names,
-        spacings=spacings if any_spacing else None,
+        spacings=spacings if have_spacing else None,
     )

@@ -165,24 +165,32 @@ def main():
     parser.add_argument("--experiment_name", type=str, default="interpret")
     args = parser.parse_args()
 
+    wandb_run = None
     if args.use_wandb:
+        # Any init failure degrades to disk-only artifacts: not just a
+        # missing package, but also offline/unauthenticated environments
+        # (wandb raises CommError/UsageError there, not ImportError).
         try:
             import wandb
 
-            wandb.init(
+            wandb_run = wandb.init(
                 project="ct-image-segmentation", name=args.experiment_name
             )
-        except ImportError:
-            print("wandb not installed; writing artifacts to disk only")
+        except Exception as e:
+            print(f"wandb unavailable ({e!r}); writing artifacts to disk only")
 
     trainer, state = Trainer.restore(resolve_checkpoint_arg(args))
     data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_2d"))
     dataset = PackedDataset2D.load(data_dir / "test_packed.npz")
-    done = run_interpretability(
-        trainer, state.params, dataset, Path(args.out_dir),
-        max_samples=args.max_samples, min_structures=args.min_structures,
-        layer=args.layer, batch_size=args.batch_size,
-    )
+    try:
+        done = run_interpretability(
+            trainer, state.params, dataset, Path(args.out_dir),
+            max_samples=args.max_samples, min_structures=args.min_structures,
+            layer=args.layer, batch_size=args.batch_size,
+        )
+    finally:
+        if wandb_run is not None:
+            wandb_run.finish()  # flush uploads even on mid-run failure
     print(f"wrote interpretability artifacts for {done} samples to {args.out_dir}")
 
 

@@ -110,7 +110,13 @@ def read(path: Union[str, Path]) -> Tuple[np.ndarray, Dict]:
     if sizes.size == 0 or (sizes <= 0).any():
         raise NrrdError(f"{path}: non-positive NRRD sizes: {sizes.tolist()}")
     header["sizes"] = sizes
-    header["dimension"] = int(header.get("dimension", len(sizes)))
+    try:
+        header["dimension"] = int(header.get("dimension", len(sizes)))
+    except (TypeError, ValueError) as e:
+        raise NrrdError(
+            f"{path}: malformed 'dimension' header value "
+            f"{header.get('dimension')!r} (expected an integer)"
+        ) from e
     if header["dimension"] != len(sizes):
         raise NrrdError(
             f"{path}: dimension {header['dimension']} does not match "

@@ -21,7 +21,8 @@ from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO_ROOT)
 
 
 def build_workspace(ws: Path, shape=(40, 512, 512)) -> Path:
@@ -233,7 +234,7 @@ def eval_cold_warm(ws: Path, patch) -> dict:
                 "--patch_size", *map(str, patch),
                 "--out", str(out),
             ],
-            check=True, env=env, cwd="/root/repo",
+            check=True, env=env, cwd=REPO_ROOT,
         )
         wall = time.time() - t0
         r = json.loads(out.read_text())

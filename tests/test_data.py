@@ -1,6 +1,7 @@
 """Data layer: split parity, domain model, converters, packed datasets."""
 
 import numpy as np
+import pytest
 
 from ctseg_tpu.constants import STRUCTURES
 from ctseg_tpu.data.datasets import (
@@ -120,6 +121,29 @@ def test_pack_3d_legacy_without_spacing(tmp_path):
     assert ds.spacings is None
     ds.save(tmp_path / "packed.npz")
     assert PackedDataset3D.load(tmp_path / "packed.npz").spacings is None
+
+
+def test_pack_3d_mixed_spacing_refuses_mixed_units(tmp_path):
+    """A split where only SOME volumes carry spacing packs with
+    spacings=None and warns naming the offenders: back-filling unit spacing
+    would let HD95 average voxel-unit distances into a table labeled mm."""
+    common = dict(
+        masks=np.concatenate(
+            [np.ones((1, 4, 8, 8), np.uint8), np.zeros((8, 4, 8, 8), np.uint8)]
+        ),
+        mask_indicator=np.ones(9),
+    )
+    np.savez(
+        tmp_path / "p0.npz", image=np.zeros((1, 4, 8, 8), np.float32),
+        spacing=np.array([3.0, 1.1, 1.1], np.float32), **common,
+    )
+    np.savez(
+        tmp_path / "p1.npz", image=np.zeros((1, 4, 8, 8), np.float32),
+        **common,
+    )
+    with pytest.warns(UserWarning, match="p1.npz"):
+        ds = pack_volumes(tmp_path)
+    assert ds.spacings is None
 
 
 def test_squash_masks_np_overlap():

@@ -220,3 +220,16 @@ def test_extra_trailing_bytes_tolerated(tmp_path):
     ))
     back, _ = nrrd_io.read(p)
     np.testing.assert_array_equal(back, arr)
+
+
+def test_malformed_dimension_value_raises_nrrd_error(tmp_path):
+    """A non-integer 'dimension' value gets the hardened NrrdError with the
+    file path, not a bare int() ValueError."""
+    arr = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    p = tmp_path / "v.nrrd"
+    p.write_bytes(_nrrd_bytes(
+        ["type: uint8", "dimension: two", "sizes: 2 2", "encoding: raw"],
+        arr.tobytes(order="F"),
+    ))
+    with pytest.raises(nrrd_io.NrrdError, match="dimension"):
+        nrrd_io.read(p)
