@@ -68,17 +68,17 @@ def smallc_supported(cin: int, cout: int, stride: int, kernel_size: int,
                      transpose: bool = False, ndim: int = 3) -> bool:
     """Whether the reformulated weight grad serves this conv configuration.
 
-    3D only: the plain-conv rewrite folds the depth axis into the feature
-    dim (no 2D analogue), and the 2D sites were not measured to win
-    (perf/convgrad_shallow_v5e.json: batchfeat ties native on the plain
-    conv, so 2D keeps XLA's fused native VJP).
+    The plain-conv rewrite is 3D-only: it folds the depth axis into the
+    feature dim (no 2D analogue — batchfeat ties native on the plain conv,
+    perf/convgrad_shallow_v5e.json). The transposed rewrite wins in both
+    ranks (2D: 5.24 -> 3.56 ms isolated, perf/convgrad_shallow2d_v5e.json).
     """
-    if min(cin, cout) > SMALLC_THRESHOLD or ndim != 3:
+    if min(cin, cout) > SMALLC_THRESHOLD:
         return False
     if transpose:
         # Derivation above assumes the unit's k=3 / s=2 torch-style padding.
-        return kernel_size == 3 and stride == 2
-    return stride == 1 and kernel_size % 2 == 1
+        return kernel_size == 3 and stride == 2 and ndim in (2, 3)
+    return ndim == 3 and stride == 1 and kernel_size % 2 == 1
 
 
 def _dw_merged_3d(x, dy, pad, k):

@@ -9,6 +9,14 @@ showed batchfeat ties native on plain convs and the merged fold has no 2D
 analogue (no small third spatial axis).
 
 Run on the real chip: python perf/probe_convgrad_shallow2d.py
+
+MEASURED VERDICT (v5e, batch 128, perf/convgrad_shallow2d_v5e.json):
+ADOPTED. Isolated: native 5.24 ms -> batchfeat 3.56 ms (1.47x; floor
+2.19 ms). Step-level same-process A/B on the bench 2D Model L config:
+99.32 -> 98.61 ms/step (1288.7 -> 1298.1 patches/s, MFU 0.4795 -> 0.483) —
+the isolated 1.7 ms compresses to ~0.7 ms in the full step, same pattern as
+the 3D sites. smallc_supported gates the transposed rewrite on ndim in
+(2, 3) accordingly.
 """
 
 import json

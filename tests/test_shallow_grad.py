@@ -104,9 +104,7 @@ def test_conv_transpose_smallc_matches_native(shape, cin, cout):
     x = jnp.asarray(rng.standard_normal(shape + (cin,)))
     w = jnp.asarray(rng.standard_normal((k,) * ndim + (cin, cout)))
     b = jnp.asarray(rng.standard_normal((cout,)))
-    assert smallc_supported(cin, cout, s, k, transpose=True, ndim=ndim) == (
-        ndim == 3
-    )
+    assert smallc_supported(cin, cout, s, k, transpose=True, ndim=ndim)
 
     fn_n = lambda x_, w_, b_: _native_convt(x_, w_, b_, s, k)
     fn_s = lambda x_, w_, b_: conv_transpose_smallc(x_, w_, b_, s, k)
@@ -126,9 +124,9 @@ def test_smallc_threshold_gates():
     assert not smallc_supported(64, 128, 1, 3)          # lane-full: native
     assert not smallc_supported(10, 10, 2, 3)           # strided plain conv
     assert not smallc_supported(10, 10, 1, 4)           # even kernel
-    assert not smallc_supported(10, 10, 1, 3, ndim=2)   # 2D: measured no win
+    assert not smallc_supported(10, 10, 1, 3, ndim=2)   # 2D plain: no win
     assert not smallc_supported(128, 10, 2, 5, transpose=True)  # k != 3
-    assert not smallc_supported(128, 10, 2, 3, transpose=True, ndim=2)
+    assert smallc_supported(128, 10, 2, 3, transpose=True, ndim=2)  # 2D convT
     assert smallc_supported(128, 10, 2, 3, transpose=True)
     assert smallc_supported(10, 10, 1, 3, ndim=3)
 
@@ -169,7 +167,7 @@ def test_conv_unit_smallc_matches_native_path(monkeypatch, ndim):
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
 
 
-@pytest.mark.parametrize("ndim", [3])
+@pytest.mark.parametrize("ndim", [2, 3])
 def test_conv_transpose_unit_smallc_matches_native_path(monkeypatch, ndim):
     import ctseg_tpu.ops.shallow_grad as sg
     from ctseg_tpu.models.layers import ConvTransposeUnit
