@@ -219,6 +219,15 @@ class ConvUnit(nn.Module):
     conv_only: bool = False
     fused_norm_act: bool = False
     fused_conv_block: bool = False
+    # Strided shallow-Cin 3D convs (the stem family) as ONE lane-full 2D
+    # conv over the (D, Cin)-folded input (ops/shallow_grad.py::
+    # conv_packed_depth). Measured 1.7x fwd+bwd ISOLATED at the bench stem
+    # (perf/stem_packed_v5e.json) but 0.986x on the compiled FULL 3D train
+    # step (perf/ab_stem_packed_step_v5e.json) — XLA already hides the
+    # stem behind the deep levels, and the folded kernel's gather breaks
+    # that overlap. Rejected per CLAUDE.md rule 3; kept off by default as
+    # a tested, exact-math alternative.
+    packed_depth: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -257,9 +266,28 @@ class ConvUnit(nn.Module):
                     x, kernel, bias, alpha, default_interpret()
                 )
 
-        from ctseg_tpu.ops.shallow_grad import conv_smallc, smallc_supported
+        from ctseg_tpu.ops.shallow_grad import (
+            conv_packed_depth,
+            conv_smallc,
+            packed_depth_supported,
+            smallc_supported,
+        )
 
-        if smallc_supported(
+        if self.packed_depth and packed_depth_supported(
+            x.shape[-1], self.features, self.stride, self.kernel_size,
+            ndim=ndim, depth=x.shape[-2] if ndim == 3 else 0,
+        ):
+            kernel, bias = _ConvParams(
+                kernel_shape=(self.kernel_size,) * ndim
+                + (x.shape[-1], self.features),
+                fan_in=fan_in,
+                param_dtype=self.param_dtype,
+                name="Conv_0",
+            )()
+            x = conv_packed_depth(
+                x.astype(self.dtype), kernel, bias, self.stride
+            )
+        elif smallc_supported(
             x.shape[-1], self.features, self.stride, self.kernel_size,
             ndim=ndim,
         ):
@@ -612,11 +640,17 @@ class ResidualUnit(nn.Module):
     last_conv_only: bool = False
     fused_norm_act: bool = False
     fused_conv_block: bool = False
+    packed_depth: bool = False  # see ConvUnit.packed_depth (rejected by A/B)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ctseg_tpu.ops.shallow_grad import (
+            conv_packed_depth,
+            packed_depth_supported,
+        )
+
         ndim = x.ndim - 2
         in_features = x.shape[-1]
         subunits = max(1, self.subunits)
@@ -626,17 +660,35 @@ class ResidualUnit(nn.Module):
             rkernel = self.kernel_size if self.stride != 1 else 1
             rpad = _same_padding(rkernel)
             fan_in = in_features * rkernel ** ndim
-            residual = nn.Conv(
-                features=self.features,
-                kernel_size=(rkernel,) * ndim,
-                strides=(self.stride,) * ndim,
-                padding=[(rpad, rpad)] * ndim,
-                kernel_init=torch_kernel_init,
-                bias_init=_torch_bias_init(fan_in),
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="shortcut",
-            )(x)
+            if self.packed_depth and packed_depth_supported(
+                in_features, self.features, self.stride, rkernel,
+                ndim=ndim, depth=x.shape[-2] if ndim == 3 else 0,
+            ):
+                # The strided shortcut shares the stem's lane-starved shape
+                # (Cin=1 full-res); same packed depth-fold, params under
+                # nn.Conv's "shortcut" name so checkpoints are unchanged.
+                kernel, bias = _ConvParams(
+                    kernel_shape=(rkernel,) * ndim
+                    + (in_features, self.features),
+                    fan_in=fan_in,
+                    param_dtype=self.param_dtype,
+                    name="shortcut",
+                )()
+                residual = conv_packed_depth(
+                    x.astype(self.dtype), kernel, bias, self.stride
+                )
+            else:
+                residual = nn.Conv(
+                    features=self.features,
+                    kernel_size=(rkernel,) * ndim,
+                    strides=(self.stride,) * ndim,
+                    padding=[(rpad, rpad)] * ndim,
+                    kernel_init=torch_kernel_init,
+                    bias_init=_torch_bias_init(fan_in),
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="shortcut",
+                )(x)
 
         out = x
         for su in range(subunits):
@@ -647,6 +699,7 @@ class ResidualUnit(nn.Module):
                 conv_only=self.last_conv_only and su == subunits - 1,
                 fused_norm_act=self.fused_norm_act,
                 fused_conv_block=self.fused_conv_block,
+                packed_depth=self.packed_depth,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"unit{su}",

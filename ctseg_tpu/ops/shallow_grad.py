@@ -124,6 +124,76 @@ def _dw_merged_3d(x, dy, pad, k):
     return jnp.einsum("hwpiqo,kpq->hwkio", m6, ind)
 
 
+# ------------------------------------------- packed depth-fold strided conv
+def packed_depth_supported(cin: int, cout: int, stride: int,
+                           kernel_size: int, ndim: int, depth: int) -> bool:
+    """Whether the packed depth-fold forward serves this strided 3D conv.
+
+    Targets the lane-starved stem family (Cin=1 at full resolution, stride
+    2 — the model's first conv AND its residual shortcut): measured 6.11 ->
+    3.54 ms fwd+bwd ISOLATED at the bench shape (perf/probe_stem_packed.py).
+    The dense fold costs depth/k redundant MACs, so the gate stays inside
+    the measured bandwidth-bound territory (cin * depth <= 16).
+
+    REJECTED for production (CLAUDE.md rule 3): on the compiled full 3D
+    train step the packed build runs 0.986x of native (238.4 vs 235.1 ms,
+    perf/ab_stem_packed_step_v5e.json) — XLA already overlaps the stem with
+    the deep levels, and the folded kernel's weight gather breaks that
+    schedule. Kept as a tested exact-math alternative; models default
+    packed_depth=False.
+    """
+    return (
+        ndim == 3
+        and stride >= 2
+        and kernel_size % 2 == 1
+        and depth % stride == 0
+        and depth >= kernel_size
+        and cin * depth <= 16
+    )
+
+
+def conv_packed_depth(x, w, b, stride):
+    """Strided 3D conv as ONE 2D conv over the (D, Cin)-folded input.
+
+    y[b,h',w',d',co] = sum_{kh,kw,kd} x[b, s*h'+kh-p, s*w'+kw-p,
+                                         s*d'+kd-p, ci] * w[kh,kw,kd,ci,co]
+    == conv2d(xm[B,H,W,D*Ci], W2, stride s, pad p) with the packed kernel
+       W2[kh,kw,(d,ci),(d',co)] = w[kh,kw, d - s*d' + p, ci, co]
+    (zero where the tap index leaves [0, k) — exactly the zero padding the
+    3D conv would have read). Both reshapes are free bitcast views; the
+    kernel packing is a tiny gather the autodiff differentiates through,
+    so backward runs on the same lane-full 2D conv (no custom VJP).
+    """
+    bsz, h, wd, d, ci = x.shape
+    k = w.shape[0]
+    co = w.shape[-1]
+    p = (k - 1) // 2
+    d_out = d // stride
+
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (d, d_out), 0)
+    dp_idx = jax.lax.broadcasted_iota(jnp.int32, (d, d_out), 1)
+    t = d_idx - stride * dp_idx + p
+    valid = (t >= 0) & (t < k)
+    tc = jnp.clip(t, 0, k - 1)
+    w = w.astype(x.dtype)
+    w2 = jnp.where(
+        valid[None, None, :, :, None, None],
+        w[:, :, tc, :, :],  # (kh, kw, d, d', ci, co)
+        jnp.zeros((), x.dtype),
+    )
+    w2 = jnp.transpose(w2, (0, 1, 2, 4, 3, 5)).reshape(k, k, d * ci, d_out * co)
+
+    xm = x.reshape(bsz, h, wd, d * ci)
+    y = lax.conv_general_dilated(
+        xm, w2, (stride, stride), [(p, p)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # The 2D conv applies the exact per-axis stride/pad semantics of the 3D
+    # conv on H/W (including odd sizes), so read the output extents back.
+    y = y.reshape(y.shape[0], y.shape[1], y.shape[2], d_out, co)
+    return y + b.astype(x.dtype)
+
+
 # ------------------------------------------------------------- plain conv
 def _conv_fwd_raw(x, w, b, stride, pad):
     ndim = x.ndim - 2

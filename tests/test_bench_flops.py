@@ -66,8 +66,15 @@ CASES = [
 
 
 @pytest.mark.parametrize("spatial,in_ch,channels,nru", CASES)
-def test_analytic_flops_match_traced_model(spatial, in_ch, channels, nru):
+def test_analytic_flops_match_traced_model(spatial, in_ch, channels, nru, monkeypatch):
     batch = 2
+    # Pin the analytic formula against the un-folded architecture even if
+    # the packed depth-fold (off by default; rejected in the full-step A/B)
+    # is ever re-enabled: its folded kernel carries deliberate zero taps —
+    # implementation cost, not model FLOPs, and MFU counts the latter.
+    import ctseg_tpu.ops.shallow_grad as sg
+
+    monkeypatch.setattr(sg, "packed_depth_supported", lambda *a, **k: False)
     model = UNet(out_channels=10, channels=channels, num_res_units=nru)
     x = jnp.zeros((batch, *spatial, in_ch), jnp.float32)
     params = jax.eval_shape(lambda: model.init(jax.random.key(0), x))

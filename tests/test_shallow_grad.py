@@ -188,3 +188,85 @@ def test_conv_transpose_unit_smallc_matches_native_path(monkeypatch, ndim):
     np.testing.assert_allclose(v_s, v_n, rtol=1e-12)
     for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_n)):
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
+
+
+# ------------------------------------------------- packed depth-fold stem
+def _native_strided_conv3d(x, w, b, stride, k):
+    p = (k - 1) // 2
+    return (
+        lax.conv_general_dilated(
+            x, w, (stride,) * 3, [(p, p)] * 3,
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        )
+        + b
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,cin,cout,stride",
+    [
+        ((2, 16, 16, 8), 1, 12, 2),     # the stem family
+        ((2, 15, 13, 8), 1, 6, 2),      # odd H/W (ceil semantics on H, W)
+        ((2, 12, 12, 6), 2, 8, 2),      # cin=2
+        ((1, 9, 9, 9), 1, 4, 3),        # stride 3, depth % stride == 0
+    ],
+)
+def test_conv_packed_depth_matches_native(shape, cin, cout, stride):
+    from ctseg_tpu.ops.shallow_grad import (
+        conv_packed_depth,
+        packed_depth_supported,
+    )
+
+    rng = np.random.default_rng(2)
+    k = 3
+    x = jnp.asarray(rng.standard_normal(shape + (cin,)))
+    w = jnp.asarray(rng.standard_normal((k,) * 3 + (cin, cout)))
+    b = jnp.asarray(rng.standard_normal((cout,)))
+    assert packed_depth_supported(cin, cout, stride, k, 3, shape[-1])
+
+    fn_n = lambda x_, w_, b_: _native_strided_conv3d(x_, w_, b_, stride, k)
+    fn_p = lambda x_, w_, b_: conv_packed_depth(x_, w_, b_, stride)
+    out_n = fn_n(x, w, b)
+    cot = jnp.asarray(rng.standard_normal(out_n.shape))
+    out_p, (dx_p, dw_p, db_p) = _grads(fn_p, x, w, b, cot)
+    _, (dx_n, dw_n, db_n) = _grads(fn_n, x, w, b, cot)
+
+    assert out_p.shape == out_n.shape
+    np.testing.assert_allclose(out_p, out_n, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(dx_p, dx_n, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(dw_p, dw_n, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(db_p, db_n, rtol=1e-10, atol=1e-10)
+
+
+def test_packed_depth_gates():
+    from ctseg_tpu.ops.shallow_grad import packed_depth_supported
+
+    assert packed_depth_supported(1, 64, 2, 3, 3, 16)    # the bench stem
+    assert not packed_depth_supported(1, 64, 1, 3, 3, 16)   # unstrided
+    assert not packed_depth_supported(1, 64, 2, 3, 2, 16)   # 2D
+    assert not packed_depth_supported(1, 64, 2, 3, 3, 15)   # depth % s != 0
+    assert not packed_depth_supported(64, 64, 2, 3, 3, 16)  # MAC-bound fold
+    assert not packed_depth_supported(1, 64, 2, 3, 3, 32)   # beyond measured
+
+
+def test_residual_unit_packed_depth_matches_native_path():
+    """Strided 3D ResidualUnit (stem family: unit0 + shortcut both route
+    through the packed fold): identical params, forward, and grads vs the
+    packed_depth=False build."""
+    from ctseg_tpu.models.layers import ResidualUnit
+
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 8, 8, 8, 1))
+    )
+    key = jax.random.key(2)
+    kw = dict(features=6, kernel_size=3, stride=2, subunits=2,
+              dtype=jnp.float64, param_dtype=jnp.float64)
+    p_p, v_p, g_p = _unit_grads(ResidualUnit(packed_depth=True, **kw), x, key)
+    p_n, v_n, g_n = _unit_grads(ResidualUnit(packed_depth=False, **kw), x, key)
+
+    assert jax.tree.structure(p_p) == jax.tree.structure(p_n)
+    for a, b in zip(jax.tree.leaves(p_p), jax.tree.leaves(p_n)):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(v_p, v_n, rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_n)):
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
