@@ -36,6 +36,51 @@ from ctseg_tpu.transforms.pipelines import batched_transform
 GROUP_CHUNK = 8
 
 
+def _bucketed_grid(raw_shape_dhw, patch_size, overlap):
+    """Bucket a (D, H, W) volume onto the sliding-window grid.
+
+    Returns (bucket_hwd, starts): the (H, W, D) runner shape rounded up to
+    the window grid (window-count neutral — sliding_window.bucket_axis),
+    and this volume's exact clamped window grid computed over
+    max(true, patch) per axis — identical to the grid an unbucketed runner
+    would use, so blended predictions inside the true extent are
+    bit-identical to per-shape compilation. Padded voxels beyond the
+    clamped grid get zero blend weight.
+    """
+    from ctseg_tpu.inference.sliding_window import (
+        bucket_axis,
+        compute_window_grid,
+    )
+
+    d, h, w = raw_shape_dhw
+    true_hwd = (h, w, d)
+    bucket = tuple(
+        bucket_axis(s, p, overlap) for s, p in zip(true_hwd, patch_size)
+    )
+    hp = tuple(max(s, p) for s, p in zip(true_hwd, patch_size))
+    starts = compute_window_grid(hp, patch_size, overlap)
+    expected = len(compute_window_grid(bucket, patch_size, overlap))
+    assert len(starts) == expected, (raw_shape_dhw, bucket)
+    return bucket, starts
+
+
+def _pad_volume_dhw(arr: np.ndarray, bucket_hwd, fill) -> np.ndarray:
+    """Host-pad a (D, H, W) array up to the (H, W, D) bucket shape.
+
+    The image fill is -1024 HU (air): soft-tissue windowing clips it to the
+    window minimum, which shifts to exactly 0.0 — the same value the
+    pre-bucketing code produced by zero-padding AFTER windowing, so
+    predictions near the volume edge are unchanged.
+    """
+    hb, wb, db = bucket_hwd
+    d, h, w = arr.shape
+    if (h, w, d) == (hb, wb, db):
+        return arr
+    out = np.full((db, hb, wb), fill, dtype=arr.dtype)
+    out[:d, :h, :w] = arr
+    return out
+
+
 def evaluate_2d(
     trainer: Trainer,
     params,
@@ -169,23 +214,23 @@ def sliding_window_throughput(
     if len(dataset.images) == 0:
         raise ValueError("sliding_window_throughput: empty dataset")
 
-    # One runner per raw volume shape (real PDDCA depths vary per patient).
-    def make_infer(raw_shape):
-        d, h, w = raw_shape
-        hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
+    # One runner per BUCKET shape (depths rounded up to the window grid,
+    # window-count neutral — see _bucketed_grid): real PDDCA depths vary
+    # per patient, but every patient in a bucket shares one compiled
+    # program; each volume keeps its own exact clamped window grid, passed
+    # as a traced argument.
+    def make_infer(bucket_hwd):
         runner = build_sliding_window_fn(
-            trainer.model.apply, hp, patch_size, overlap=overlap,
+            trainer.model.apply, bucket_hwd, patch_size, overlap=overlap,
             batch_size=batch_size, out_channels=NUM_CLASSES,
+            dynamic_starts=True,
         )
 
         @jax.jit
-        def infer(params, img):
+        def infer(params, img, starts):
             vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
             vol = apply_window(vol, 350, 20, shift=True)
-            pads = [
-                (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
-            ] + [(0, 0)]
-            logits = runner(params, jnp.pad(vol, pads))[:h, :w, :d]
+            logits = runner(params, vol, starts)
             return squash_predictions(logits)
 
         return infer
@@ -193,16 +238,18 @@ def sliding_window_throughput(
     infer_fns = {}
     vols = []
     for img in dataset.images:
-        if img.shape not in infer_fns:
-            infer_fns[img.shape] = make_infer(img.shape)
-        vols.append(jnp.asarray(img))
-    for v in vols:  # compile every shape + stage sync
-        out = infer_fns[v.shape](params, v)
+        bucket, starts = _bucketed_grid(img.shape, patch_size, overlap)
+        if bucket not in infer_fns:
+            infer_fns[bucket] = make_infer(bucket)
+        padded = _pad_volume_dhw(img, bucket, fill=-1024.0)
+        vols.append((bucket, jnp.asarray(padded), jnp.asarray(starts)))
+    for bucket, v, s in vols:  # compile every bucket + stage sync
+        out = infer_fns[bucket](params, v, s)
     float(out.ravel()[0].astype(jnp.float32))
     t0 = time.time()
     for _ in range(reps):
-        for v in vols:
-            out = infer_fns[v.shape](params, v)
+        for bucket, v, s in vols:
+            out = infer_fns[bucket](params, v, s)
     float(out.ravel()[0].astype(jnp.float32))
     elapsed = time.time() - t0
     n = reps * len(vols)
@@ -210,6 +257,7 @@ def sliding_window_throughput(
         "vols_per_min": n / max(elapsed / 60.0, 1e-9),
         "ms_per_volume": elapsed / n * 1000.0,
         "num_volumes": len(vols),
+        "compiled_programs": len(infer_fns),
         "reps": reps,
     }
 
@@ -238,6 +286,15 @@ def evaluate_3d_sliding_window(
     header), distances are physical (mm for PDDCA) — comparable to
     published HaN numbers; legacy packed files without spacing report
     voxel units. `hd95_unit` in the result records which.
+
+    Cold-start: volumes are bucketed onto the window grid (depths rounded
+    up by at most one window stride — window-count neutral) and everything
+    per-volume is a traced argument, so heterogeneous-depth datasets share
+    one compiled program per bucket; `compiled_programs` in the result
+    records how many were built. Predictions inside each true extent are
+    bit-identical to per-shape compilation (each volume keeps its exact
+    clamped window grid; bucket padding gets zero blend weight and is
+    masked out of every metric).
     """
     from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
     from ctseg_tpu.transforms.windowing import apply_window
@@ -245,47 +302,61 @@ def evaluate_3d_sliding_window(
     if len(dataset.images) == 0:
         raise ValueError("evaluate_3d_sliding_window: empty dataset")
 
-    # Volumes are evaluated in same-shape GROUPS of at most GROUP_CHUNK,
-    # each chunk as a single jitted call that lax.map's the whole
-    # per-volume pipeline (layout change, windowing, padding,
-    # sliding-window forward, squash, Dice [+ device HD95]) over one
-    # stacked array. One host->device transfer and one dispatch per chunk:
-    # per-volume transfers + eager glue measured ~10x slower than the
-    # runner's own compute on the tunneled v5e (perf/probe_swin.py).
-    # Params are a jit argument, so chunks of one (shape, size) share a
-    # single compilation; the chunk bound caps HBM for uniform-shape
-    # datasets, and chunks are double-buffered: the next chunk's
-    # host->device upload is issued while the current chunk computes.
-    # Per-patient voxel spacing rides along as a traced (3,) argument, so
-    # anisotropic HD95 shares the same compiled program across patients.
+    # Volumes are evaluated in BUCKET groups of at most GROUP_CHUNK, each
+    # chunk as a single jitted call that lax.map's the whole per-volume
+    # pipeline (layout change, windowing, sliding-window forward, squash,
+    # Dice [+ device HD95]) over one stacked array. One host->device
+    # transfer and one dispatch per chunk: per-volume transfers + eager
+    # glue measured ~10x slower than the runner's own compute on the
+    # tunneled v5e (perf/probe_swin.py). Chunks are double-buffered: the
+    # next chunk's host->device upload is issued while the current chunk
+    # computes.
+    #
+    # Compile count is the cold-start cost on this chip (30-90s per jitted
+    # program), so everything per-volume is a traced ARGUMENT of one shared
+    # program per bucket: params, voxel spacing, the volume's exact clamped
+    # window grid (same count within a bucket by construction), its true
+    # extent (metrics masked by iota), and a row-validity flag (the last
+    # partial chunk is padded to GROUP_CHUNK instead of compiling a second
+    # program). Real PDDCA — 15 patients, 15 distinct depths — compiles
+    # ONE sliding-window program instead of ~16.
     spacings = getattr(dataset, "spacings", None)
     use_spacing = with_hd95 and spacings is not None
 
-    def make_group_fn(raw_shape):
-        d, h, w = raw_shape
-        hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
+    def make_group_fn(bucket_hwd):
+        hb, wb, db = bucket_hwd
         runner = build_sliding_window_fn(
             trainer.model.apply,
-            hp,
+            bucket_hwd,
             patch_size,
             overlap=overlap,
             batch_size=batch_size,
             out_channels=NUM_CLASSES,
             mesh=mesh,
+            dynamic_starts=True,
         )
 
-        def one(params, img, lab, spc):
+        def one(params, img, lab, spc, starts, dims, row_ok):
             # (D, H, W) -> (H, W, D, 1)
             vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
             if window:
                 vol = apply_window(vol, 350, 20, shift=True)
-            pads = [
-                (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
-            ] + [(0, 0)]
-            logits = runner(params, jnp.pad(vol, pads))[:h, :w, :d]
+            logits = runner(params, vol, starts)
             preds = squash_predictions(logits)
+            # Mask out the bucket padding: pred voxels beyond the true
+            # (h, w, d) extent become background, and host-padded labels
+            # are already 0 there, so per-structure Dice and HD95 equal
+            # the unpadded computation exactly (classes 1..9 gain no
+            # intersection, union, or surface voxels from the pad).
+            inb = (
+                (jnp.arange(hb)[:, None, None] < dims[0])
+                & (jnp.arange(wb)[None, :, None] < dims[1])
+                & (jnp.arange(db)[None, None, :] < dims[2])
+            )
+            preds = jnp.where(inb, preds, 0)
             target = jnp.moveaxis(lab.astype(jnp.int32), 0, -1)
             dice, valid = dice_per_sample_class(preds[None], target[None])
+            valid = jnp.logical_and(valid, row_ok)
             if with_hd95:
                 # HD95 on device: never materializes volume-sized
                 # predictions outside the jit (metrics/hd95.py). (value,
@@ -298,45 +369,76 @@ def evaluate_3d_sliding_window(
                 hd, hd_ok = hd95_per_structure_device(
                     preds, target, NUM_CLASSES, spacing=spacing
                 )
-                return dice[0], valid[0], hd, hd_ok
+                return dice[0], valid[0], hd, jnp.logical_and(hd_ok, row_ok)
             return dice[0], valid[0]
 
         @jax.jit
-        def run(params, imgs, labs, spcs):
-            return jax.lax.map(lambda t: one(params, *t), (imgs, labs, spcs))
+        def run(params, imgs, labs, spcs, starts, dims, row_ok):
+            return jax.lax.map(
+                lambda t: one(params, *t),
+                (imgs, labs, spcs, starts, dims, row_ok),
+            )
 
         return run
 
-    groups: Dict = {}
+    buckets: Dict = {}
+    vol_grid = {}
     for i, img in enumerate(dataset.images):
-        groups.setdefault(img.shape, []).append(i)
-    group_fns = {shape: make_group_fn(shape) for shape in groups}
+        bucket, starts = _bucketed_grid(img.shape, patch_size, overlap)
+        buckets.setdefault(bucket, []).append(i)
+        vol_grid[i] = starts
+    group_fns = {bucket: make_group_fn(bucket) for bucket in buckets}
 
-    # Work items: (shape, chunk of <= GROUP_CHUNK volume indices).
-    items = [
-        (shape, idxs[lo : lo + GROUP_CHUNK])
-        for shape, idxs in groups.items()
-        for lo in range(0, len(idxs), GROUP_CHUNK)
-    ]
+    # Work items: (bucket, chunk of <= GROUP_CHUNK volume indices). The
+    # last chunk is padded to GROUP_CHUNK by repeating its first index
+    # with row_ok=False (masked out of every reduction) whenever the
+    # bucket holds more than one chunk — reusing the full-chunk program
+    # instead of compiling a partial-chunk one. A bucket that fits in a
+    # single smaller chunk keeps its exact size (padding would only
+    # inflate the one program it compiles anyway).
+    items = []
+    for bucket, idxs in buckets.items():
+        for lo in range(0, len(idxs), GROUP_CHUNK):
+            chunk = idxs[lo : lo + GROUP_CHUNK]
+            n_real = len(chunk)
+            if n_real < GROUP_CHUNK and len(idxs) > GROUP_CHUNK:
+                chunk = chunk + [chunk[0]] * (GROUP_CHUNK - n_real)
+            items.append((bucket, chunk, n_real))
+
+    img_fill = -1024.0 if window else 0.0
 
     def stage(item):
         """Host-stack one chunk and start its async host->device upload."""
-        shape, idxs = item
-        imgs = np.stack([dataset.images[i] for i in idxs])
-        labs = np.stack([dataset.labels[i] for i in idxs])
+        bucket, idxs, n_real = item
+        imgs = np.stack(
+            [_pad_volume_dhw(dataset.images[i], bucket, img_fill)
+             for i in idxs]
+        )
+        labs = np.stack(
+            [_pad_volume_dhw(dataset.labels[i], bucket, 0) for i in idxs]
+        )
         spcs = np.stack(
             [spacings[i] for i in idxs] if use_spacing
             else [np.ones(3, np.float32)] * len(idxs)
         )
-        return shape, jax.device_put(imgs), jax.device_put(labs), \
-            jax.device_put(spcs)
+        starts = np.stack([vol_grid[i] for i in idxs])
+        dims = np.stack(
+            [np.array(
+                [dataset.images[i].shape[1], dataset.images[i].shape[2],
+                 dataset.images[i].shape[0]], np.int32,
+            ) for i in idxs]
+        )
+        row_ok = np.arange(len(idxs)) < n_real
+        return bucket, tuple(
+            jax.device_put(x) for x in (imgs, labs, spcs, starts, dims, row_ok)
+        )
 
     all_dice, all_valid, hd_rows, hd_valid_rows = [], [], [], []
     t0 = time.time()
     staged = stage(items[0])
     for k in range(len(items)):
-        shape, imgs, labs, spcs = staged
-        out = group_fns[shape](params, imgs, labs, spcs)  # async dispatch
+        bucket, args = staged
+        out = group_fns[bucket](params, *args)  # async dispatch
         if k + 1 < len(items):
             # Double-buffer: upload the next chunk while this one computes.
             staged = stage(items[k + 1])
@@ -358,6 +460,7 @@ def evaluate_3d_sliding_window(
         },
         "vols_per_min": len(dataset.images) / max(elapsed / 60.0, 1e-9),
         "num_volumes": len(dataset.images),
+        "compiled_programs": len(group_fns),
     }
     if with_hd95:
         # (value, valid) aggregation, mirroring the Dice reduction; None

@@ -39,6 +39,28 @@ def _window_starts(size: int, patch: int, overlap: float) -> list:
     return starts
 
 
+def window_step(patch: int, overlap: float) -> int:
+    """The stride between window starts along one axis."""
+    return max(1, int(patch * (1.0 - overlap)))
+
+
+def bucket_axis(size: int, patch: int, overlap: float) -> int:
+    """Round `size` up to the window grid: the smallest s' >= max(size,
+    patch) of the form patch + k*step.
+
+    Window-count neutral by construction: count(s) = ceil((s-p)/step)+1 for
+    s > p, so every size in (p+(k-1)*step, p+k*step] has the same count as
+    the bucket p+k*step. Volumes padded to their bucket therefore share a
+    sliding-window program of identical window count — the compiled program
+    becomes reusable across patients whose depths differ (the cold-eval
+    compile-count fix; see evaluate_3d_sliding_window).
+    """
+    if size <= patch:
+        return patch
+    step = window_step(patch, overlap)
+    return patch + -(-(size - patch) // step) * step
+
+
 def compute_window_grid(
     spatial_shape: Sequence[int], patch_size: Sequence[int], overlap: float
 ) -> np.ndarray:
@@ -83,7 +105,12 @@ def blend_accumulate(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Core scatter-add: run the windows at `starts`, return (acc, weight).
 
-    Traceable (usable inside jit / shard_map); `starts` is static (numpy).
+    Traceable (usable inside jit / shard_map). `starts` may be static
+    (numpy) or a traced (n_windows, ndim) int32 array — the gathers and
+    scatters are dynamic_slice/dynamic_update_slice either way, so tracing
+    the starts costs nothing and lets one compiled program serve every
+    volume with the same padded shape and window count (clamped per-volume
+    grids stay bit-identical to the static-starts program).
     """
     ndim = len(patch_size)
     spatial_shape = volume.shape[:ndim]
@@ -92,9 +119,10 @@ def blend_accumulate(
 
     n_batches = math.ceil(n_windows / batch_size)
     pad = n_batches * batch_size - n_windows
-    starts_padded = np.concatenate(
-        [starts, np.repeat(starts[-1:], pad, axis=0)], axis=0
-    ).astype(np.int32)
+    xp = np if isinstance(starts, np.ndarray) else jnp
+    starts_padded = xp.concatenate(
+        [starts, xp.repeat(starts[-1:], pad, axis=0)], axis=0
+    ).astype(xp.int32)
     valid = np.concatenate(
         [np.ones(n_windows, np.float32), np.zeros(pad, np.float32)]
     )
@@ -164,12 +192,21 @@ def build_sliding_window_fn(
     mode: str = "gaussian",
     out_channels: int = 10,
     mesh: Optional[jax.sharding.Mesh] = None,
+    dynamic_starts: bool = False,
 ) -> Callable:
     """Build a reusable jitted runner: (params, volume) -> blended logits.
 
     `apply_fn(params, patches)` takes the model params explicitly so they
     stay jit ARGUMENTS — closing over them would bake all weights into the
     program as constants AND defeat the jit cache, recompiling per volume.
+
+    With `dynamic_starts`, the runner takes the window grid as a traced
+    argument — `run(params, volume, starts)` with `starts` of shape
+    (n_windows, ndim) int32 and the SAME window count as this builder's
+    `spatial_shape` grid. Volumes whose true extents fall in the same
+    bucket (`bucket_axis` per axis) then share one compiled program while
+    keeping their own exact clamped grids; regions no window touches get
+    zero blend weight (logits 0 after the guarded division).
     """
     patch_size = tuple(int(p) for p in patch_size)
     spatial_shape = tuple(int(s) for s in spatial_shape)
@@ -184,7 +221,7 @@ def build_sliding_window_fn(
     # into every compiled runner (one per volume-shape group in
     # evaluate_3d_sliding_window) — CLAUDE.md perf rule 2.
     @jax.jit
-    def _run(params, volume, importance):
+    def _run(params, volume, importance, starts):
         acc, weight = blend_accumulate(
             volume,
             lambda patches: apply_fn(params, patches),
@@ -192,8 +229,21 @@ def build_sliding_window_fn(
         )
         return acc / jnp.maximum(weight, 1e-30)
 
-    def run(params, volume):
-        return _run(params, volume, importance)
+    n_windows = len(starts)
+
+    if dynamic_starts:
+        def run(params, volume, run_starts):
+            assert run_starts.shape == (n_windows, len(patch_size)), (
+                f"dynamic starts {run_starts.shape} != grid "
+                f"({n_windows}, {len(patch_size)}) of padded shape "
+                f"{spatial_shape} — bucket the volume with bucket_axis"
+            )
+            return _run(params, volume, importance, run_starts)
+    else:
+        starts_const = jnp.asarray(starts)
+
+        def run(params, volume):
+            return _run(params, volume, importance, starts_const)
 
     return run
 

@@ -130,6 +130,74 @@ def test_evaluate_3d_sliding_window_mesh_matches_single(rng):
     )
 
 
+def test_evaluate_3d_heterogeneous_depths_one_program(rng, monkeypatch):
+    """Mixed-depth volumes (the real PDDCA case: every patient a different
+    slice count) share ONE compiled sliding-window program via grid
+    bucketing + traced window starts, and the result matches the
+    per-volume unbucketed oracle exactly (clamped grids are identical, the
+    bucket pad has zero blend weight and is masked out of the metrics).
+    Also exercises the partial-chunk padding path (GROUP_CHUNK=2, 3 vols).
+    """
+    import jax.numpy as jnp
+
+    import ctseg_tpu.inference.evaluate as ev
+    from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
+    from ctseg_tpu.metrics import dice_per_sample_class, masked_mean_batch
+    from ctseg_tpu.ops import squash_predictions
+    from ctseg_tpu.transforms.windowing import apply_window
+
+    monkeypatch.setattr(ev, "GROUP_CHUNK", 2)
+
+    depths = (17, 20, 23)  # all bucket to 24 with patch_d 16, overlap 0.5
+    images = [rng.normal(40, 200, size=(d, 40, 40)).astype(np.float32)
+              for d in depths]
+    labels = [rng.integers(0, 10, size=(d, 40, 40)).astype(np.uint8)
+              for d in depths]
+    ds = PackedDataset3D(images, labels, [np.ones(9, np.float32)] * 3)
+
+    cfg = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=1, batch_size=2,
+        loss_fx=("CrossEntropy",), spatial_dims=3,
+        input_shape=(32, 32, 16), in_channels=1,
+    )
+    tr = make_trainer_3d(cfg, mode="patch")
+    state = tr.init_state()
+    patch = (32, 32, 16)
+
+    result = ev.evaluate_3d_sliding_window(
+        tr, state.params, ds, patch_size=patch, batch_size=2, with_hd95=True,
+    )
+    assert result["compiled_programs"] == 1
+    assert result["num_volumes"] == 3
+
+    # Oracle: the pre-bucketing semantics — one static-grid runner per true
+    # shape, post-window zero padding up to the patch, exact slicing.
+    rows, valids = [], []
+    for img, lab in zip(images, labels):
+        d, h, w = img.shape
+        hp = tuple(max(s, p) for s, p in zip((h, w, d), patch))
+        run = build_sliding_window_fn(
+            tr.model.apply, hp, patch, overlap=0.5, batch_size=2,
+            out_channels=10,
+        )
+        vol = jnp.moveaxis(jnp.asarray(img, jnp.float32), 0, -1)[..., None]
+        vol = apply_window(vol, 350, 20, shift=True)
+        pads = [(0, p - s) for s, p in zip(vol.shape[:3], hp)] + [(0, 0)]
+        logits = run(state.params, jnp.pad(vol, pads))[:h, :w, :d]
+        preds = squash_predictions(logits)
+        target = jnp.moveaxis(jnp.asarray(lab, jnp.int32), 0, -1)
+        dice, valid = dice_per_sample_class(preds[None], target[None])
+        rows.append(dice[0])
+        valids.append(valid[0])
+    per_class, _ = masked_mean_batch(jnp.stack(rows), jnp.stack(valids))
+    from ctseg_tpu.constants import STRUCTURES
+
+    np.testing.assert_allclose(
+        [result["per_structure_dice"][s] for s in STRUCTURES],
+        np.asarray(per_class), rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_sliding_window_throughput(rng):
     from ctseg_tpu.inference.evaluate import sliding_window_throughput
 
@@ -149,6 +217,20 @@ def test_sliding_window_throughput(rng):
         tr, state.params, ds, patch_size=(16, 16, 16), reps=1
     )
     assert r["vols_per_min"] > 0 and r["num_volumes"] == 2
+    assert r["compiled_programs"] == 1
+
+    # Mixed depths in one grid bucket also share a single runner.
+    ds_mixed = PackedDataset3D(
+        images=[rng.normal(40, 200, size=(d, 24, 24)).astype(np.float32)
+                for d in (18, 20, 22)],
+        labels=[rng.integers(0, 10, size=(d, 24, 24)).astype(np.uint8)
+                for d in (18, 20, 22)],
+        indicators=[np.ones(9, np.float32)] * 3,
+    )
+    r2 = sliding_window_throughput(
+        tr, state.params, ds_mixed, patch_size=(16, 16, 16), reps=1
+    )
+    assert r2["num_volumes"] == 3 and r2["compiled_programs"] == 1
 
 
 def test_presets():
