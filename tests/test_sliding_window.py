@@ -19,6 +19,69 @@ def test_window_grid_covers_volume():
     assert starts[:, 0].max() == 36 and starts[:, 1].max() == 36
 
 
+def test_bucket_axis_window_count_neutral():
+    """The whole bucketed-compile design rests on this property: rounding
+    an axis up to the window grid never changes the number of windows, so
+    volumes in one bucket can share a compiled program while keeping their
+    own clamped grids. Checked exhaustively over sizes and overlaps."""
+    from ctseg_tpu.inference.sliding_window import _window_starts, bucket_axis
+
+    for patch in (16, 32, 48, 64):
+        for overlap in (0.0, 0.25, 0.5, 0.75):
+            for size in range(1, 4 * patch + 1):
+                b = bucket_axis(size, patch, overlap)
+                assert b >= max(size, patch)
+                n_true = len(_window_starts(max(size, patch), patch, overlap))
+                n_bucket = len(_window_starts(b, patch, overlap))
+                assert n_true == n_bucket, (size, patch, overlap, b)
+                # idempotent: a bucket is its own bucket
+                assert bucket_axis(b, patch, overlap) == b
+
+
+def test_dynamic_starts_matches_static(rng):
+    """A dynamic-starts runner fed the exact clamped grid of a smaller
+    volume (padded to the bucket) reproduces the static runner's blended
+    logits bit-for-bit inside the true extent."""
+    import jax
+
+    from ctseg_tpu.inference.sliding_window import (
+        bucket_axis,
+        build_sliding_window_fn,
+        compute_window_grid,
+    )
+
+    patch = (16, 16)
+    true_shape = (25, 21)
+    bucket = tuple(bucket_axis(s, 16, 0.5) for s in true_shape)
+    vol = rng.normal(size=true_shape + (1,)).astype(np.float32)
+
+    def apply_fn(params, patches):
+        return jnp.tanh(patches) + patches**2
+
+    static_run = build_sliding_window_fn(
+        apply_fn, true_shape, patch, overlap=0.5, batch_size=2,
+        out_channels=1,
+    )
+    ref = static_run(None, jnp.asarray(vol))
+
+    dyn_run = build_sliding_window_fn(
+        apply_fn, bucket, patch, overlap=0.5, batch_size=2,
+        out_channels=1, dynamic_starts=True,
+    )
+    padded = np.zeros(bucket + (1,), np.float32)
+    padded[: true_shape[0], : true_shape[1]] = vol
+    starts = compute_window_grid(true_shape, patch, 0.5)
+    got = dyn_run(None, jnp.asarray(padded), jnp.asarray(starts))
+
+    np.testing.assert_array_equal(
+        np.asarray(got)[: true_shape[0], : true_shape[1]], np.asarray(ref)
+    )
+    # untouched bucket padding has zero blend weight -> exactly 0 logits
+    assert (np.asarray(got)[true_shape[0]:] == 0).all()
+    assert (np.asarray(got)[:, true_shape[1]:] == 0).all()
+    del jax
+
+
 def test_gaussian_importance_peak_center():
     g = np.asarray(gaussian_importance((32, 32)))
     assert g.shape == (32, 32)
