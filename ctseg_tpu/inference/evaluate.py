@@ -36,49 +36,13 @@ from ctseg_tpu.transforms.pipelines import batched_transform
 GROUP_CHUNK = 8
 
 
-def _bucketed_grid(raw_shape_dhw, patch_size, overlap):
-    """Bucket a (D, H, W) volume onto the sliding-window grid.
-
-    Returns (bucket_hwd, starts): the (H, W, D) runner shape rounded up to
-    the window grid (window-count neutral — sliding_window.bucket_axis),
-    and this volume's exact clamped window grid computed over
-    max(true, patch) per axis — identical to the grid an unbucketed runner
-    would use, so blended predictions inside the true extent are
-    bit-identical to per-shape compilation. Padded voxels beyond the
-    clamped grid get zero blend weight.
-    """
-    from ctseg_tpu.inference.sliding_window import (
-        bucket_axis,
-        compute_window_grid,
-    )
-
-    d, h, w = raw_shape_dhw
-    true_hwd = (h, w, d)
-    bucket = tuple(
-        bucket_axis(s, p, overlap) for s, p in zip(true_hwd, patch_size)
-    )
-    hp = tuple(max(s, p) for s, p in zip(true_hwd, patch_size))
-    starts = compute_window_grid(hp, patch_size, overlap)
-    expected = len(compute_window_grid(bucket, patch_size, overlap))
-    assert len(starts) == expected, (raw_shape_dhw, bucket)
-    return bucket, starts
-
-
-def _pad_volume_dhw(arr: np.ndarray, bucket_hwd, fill) -> np.ndarray:
-    """Host-pad a (D, H, W) array up to the (H, W, D) bucket shape.
-
-    The image fill is -1024 HU (air): soft-tissue windowing clips it to the
-    window minimum, which shifts to exactly 0.0 — the same value the
-    pre-bucketing code produced by zero-padding AFTER windowing, so
-    predictions near the volume edge are unchanged.
-    """
-    hb, wb, db = bucket_hwd
-    d, h, w = arr.shape
-    if (h, w, d) == (hb, wb, db):
-        return arr
-    out = np.full((db, hb, wb), fill, dtype=arr.dtype)
-    out[:d, :h, :w] = arr
-    return out
+# Canonical implementations live in inference/sliding_window.py (shared
+# with predict.py / serve.py); module-level aliases keep this the patch
+# point for the perf probes (perf/probe_cold_eval.py).
+from ctseg_tpu.inference.sliding_window import (  # noqa: E402
+    bucketed_grid as _bucketed_grid,
+    pad_volume_dhw as _pad_volume_dhw,
+)
 
 
 def evaluate_2d(

@@ -73,6 +73,44 @@ def predict_labels_2d(
     return out
 
 
+def _bucketed_swin_runner(
+    trainer: Trainer,
+    bucket_hwd: Tuple[int, int, int],
+    patch_size: Tuple[int, int, int],
+    overlap: float,
+    batch_size: int,
+):
+    """One cached jitted 3D inference program per window-grid bucket.
+
+    Cached on the Trainer instance (`trainer._swin_cache`) so repeated
+    `predict_scan` calls — the predict CLI looping over a split, or the
+    warm HTTP server — reuse one compiled program for every scan whose
+    extents fall in the same bucket (real PDDCA depths vary per patient;
+    a per-shape jit here cost one 30-90s remote compile PER SCAN on the
+    tunneled v5e; see evaluate.py's identical bucketing, measured 2.72x
+    on cold mixed-depth eval in perf/probe_cold_eval.py)."""
+    from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
+    from ctseg_tpu.transforms.windowing import apply_window
+
+    cache = trainer.__dict__.setdefault("_swin_cache", {})
+    key = (bucket_hwd, patch_size, overlap, batch_size)
+    if key not in cache:
+        runner = build_sliding_window_fn(
+            trainer.model.apply, bucket_hwd, patch_size, overlap=overlap,
+            batch_size=batch_size, out_channels=NUM_CLASSES,
+            dynamic_starts=True,
+        )
+
+        @jax.jit
+        def infer(params, img, starts):
+            vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
+            vol = apply_window(vol, 350, 20, shift=True)
+            return squash_predictions(runner(params, vol, starts))
+
+        cache[key] = infer
+    return cache[key]
+
+
 def predict_labels_3d(
     trainer: Trainer,
     params,
@@ -81,30 +119,27 @@ def predict_labels_3d(
     overlap: float = 0.5,
     batch_size: int = 4,
 ) -> np.ndarray:
-    """(D, H, W) raw HU -> (D, H, W) uint8 via sliding-window blending."""
-    from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
-    from ctseg_tpu.transforms.windowing import apply_window
+    """(D, H, W) raw HU -> (D, H, W) uint8 via sliding-window blending.
+
+    The volume is padded up to its window-grid bucket (window-count
+    neutral) and inferred with its exact clamped window grid passed as a
+    traced argument, so predictions inside the true extent are
+    bit-identical to per-shape compilation while scans of nearby depths
+    share one compiled program (sliding_window.bucketed_grid)."""
+    from ctseg_tpu.inference.sliding_window import bucketed_grid, pad_volume_dhw
 
     d, h, w = volume.shape
-    # Keep the requested patch size (the UNet's stride pyramid needs it);
-    # volumes smaller than a patch are padded up to one.
-    hp = tuple(max(s, p) for s, p in zip((h, w, d), patch_size))
-    runner = build_sliding_window_fn(
-        trainer.model.apply, hp, patch_size, overlap=overlap,
-        batch_size=batch_size, out_channels=NUM_CLASSES,
+    patch_size = tuple(int(p) for p in patch_size)
+    bucket, starts = bucketed_grid(volume.shape, patch_size, overlap)
+    infer = _bucketed_swin_runner(
+        trainer, bucket, patch_size, overlap, batch_size
     )
-
-    @jax.jit
-    def infer(params, img):
-        vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
-        vol = apply_window(vol, 350, 20, shift=True)
-        pads = [
-            (0, max(0, p - s)) for s, p in zip(vol.shape[:3], patch_size)
-        ] + [(0, 0)]
-        logits = runner(params, jnp.pad(vol, pads))[:h, :w, :d]
-        return squash_predictions(logits)
-
-    preds_hwd = np.asarray(infer(params, jnp.asarray(volume)))
+    # -1024 HU (air) pad: soft-tissue windowing clips+shifts it to exactly
+    # the 0.0 the pre-bucketing code produced by padding after windowing.
+    padded = pad_volume_dhw(volume, bucket, fill=-1024.0)
+    preds_hwd = np.asarray(
+        infer(params, jnp.asarray(padded), jnp.asarray(starts))
+    )[:h, :w, :d]
     return np.moveaxis(preds_hwd, -1, 0).astype(np.uint8)  # (D, H, W)
 
 

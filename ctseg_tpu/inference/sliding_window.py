@@ -61,6 +61,46 @@ def bucket_axis(size: int, patch: int, overlap: float) -> int:
     return patch + -(-(size - patch) // step) * step
 
 
+def bucketed_grid(raw_shape_dhw, patch_size, overlap):
+    """Bucket a (D, H, W) volume onto the sliding-window grid.
+
+    Returns (bucket_hwd, starts): the (H, W, D) runner shape rounded up to
+    the window grid (window-count neutral — bucket_axis), and this
+    volume's exact clamped window grid computed over max(true, patch) per
+    axis — identical to the grid an unbucketed runner would use, so
+    blended predictions inside the true extent are bit-identical to
+    per-shape compilation. Padded voxels beyond the clamped grid get zero
+    blend weight.
+    """
+    d, h, w = raw_shape_dhw
+    true_hwd = (h, w, d)
+    bucket = tuple(
+        bucket_axis(s, p, overlap) for s, p in zip(true_hwd, patch_size)
+    )
+    hp = tuple(max(s, p) for s, p in zip(true_hwd, patch_size))
+    starts = compute_window_grid(hp, patch_size, overlap)
+    expected = len(compute_window_grid(bucket, patch_size, overlap))
+    assert len(starts) == expected, (raw_shape_dhw, bucket)
+    return bucket, starts
+
+
+def pad_volume_dhw(arr: np.ndarray, bucket_hwd, fill) -> np.ndarray:
+    """Host-pad a (D, H, W) array up to the (H, W, D) bucket shape.
+
+    The image fill is -1024 HU (air): soft-tissue windowing clips it to the
+    window minimum, which shifts to exactly 0.0 — the same value the
+    pre-bucketing code produced by zero-padding AFTER windowing, so
+    predictions near the volume edge are unchanged.
+    """
+    hb, wb, db = bucket_hwd
+    d, h, w = arr.shape
+    if (h, w, d) == (hb, wb, db):
+        return arr
+    out = np.full((db, hb, wb), fill, dtype=arr.dtype)
+    out[:d, :h, :w] = arr
+    return out
+
+
 def compute_window_grid(
     spatial_shape: Sequence[int], patch_size: Sequence[int], overlap: float
 ) -> np.ndarray:

@@ -52,6 +52,41 @@ def test_predict_scan_3d(patient_dir):
     assert labels.max() <= 9
 
 
+def test_predict_3d_bucketed_runner_reuse(tmp_path):
+    """Scans whose depths fall in one window-grid bucket share a single
+    cached runner on the trainer (no per-shape giant recompiles in the
+    predict CLI / HTTP server), and warming a second shape leaves the
+    first scan's prediction bit-identical."""
+    cfg = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=1, batch_size=1,
+        loss_fx=("CrossEntropy",), spatial_dims=3, input_shape=(32, 32, 16),
+        in_channels=1,
+    )
+    tr = make_trainer_3d(cfg, mode="patch", patch_size=(32, 32, 16))
+    state = tr.init_state()
+
+    vols = [
+        Volume.from_nrrd(
+            make_patient(tmp_path / f"0522c000{i}", shape=(d, 48, 48), seed=i)
+            / "img.nrrd"
+        )
+        for i, d in enumerate((17, 20, 23))  # one depth bucket (24)
+    ]
+    first = predict_scan(
+        tr, state.params, vols[0], crop=False, patch_size=(32, 32, 16)
+    )
+    for v in vols[1:]:
+        labels = predict_scan(
+            tr, state.params, v, crop=False, patch_size=(32, 32, 16)
+        )
+        assert labels.shape == v.as_numpy()[0].shape
+    assert len(tr._swin_cache) == 1
+    again = predict_scan(
+        tr, state.params, vols[0], crop=False, patch_size=(32, 32, 16)
+    )
+    np.testing.assert_array_equal(first, again)
+
+
 def test_write_artifacts_round_trip(tmp_path, rng):
     labels = rng.integers(0, 10, size=(5, 16, 16)).astype(np.uint8)
     header = {"space": "left-posterior-superior",
