@@ -161,6 +161,50 @@ def test_concurrent_clients(server, patient, tmp_path):
     assert service.served == before + 8
 
 
+def test_serve_3d_mixed_depths_share_one_program(tmp_path):
+    """A 3D-checkpoint server handles scans of varying depth over real HTTP,
+    each reply matches direct predict_scan, and all depths in one window-grid
+    bucket reuse a single compiled sliding-window program (the warm-server
+    promise: no per-shape recompile per request)."""
+    from ctseg_tpu.volumetric.trainer3d import make_trainer_3d
+
+    cfg = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=1, batch_size=1,
+        loss_fx=("CrossEntropy",), spatial_dims=3, input_shape=(32, 32, 16),
+        in_channels=1,
+    )
+    tr = make_trainer_3d(cfg, mode="patch", patch_size=(32, 32, 16))
+    tr.save(tmp_path / "ckpt3d", tr.init_state())
+
+    service = SegmentationService(
+        tmp_path / "ckpt3d", crop=False, patch_size=(32, 32, 16)
+    )
+    httpd = serve(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = httpd.server_address[1]
+        for i, depth in enumerate((17, 20, 23)):  # one depth bucket (24)
+            pdir = make_patient(
+                tmp_path / f"0522c000{i}", shape=(depth, 48, 48), seed=i
+            )
+            scan_bytes = (pdir / "img.nrrd").read_bytes()
+            status, ctype, payload = _request(port, "POST", "/segment", scan_bytes)
+            assert status == 200 and ctype == "application/octet-stream"
+            out = tmp_path / f"seg{i}.nrrd"
+            out.write_bytes(payload)
+            served = np.transpose(nrrd_io.read(out)[0], (2, 0, 1))
+            direct = predict_scan(
+                service.trainer, service._state.params,
+                Volume.from_nrrd(pdir / "img.nrrd"),
+                crop=False, patch_size=(32, 32, 16),
+            )
+            np.testing.assert_array_equal(served, direct)
+        assert len(service.trainer._swin_cache) == 1
+    finally:
+        httpd.shutdown()
+
+
 def test_warmup_marks_shape_and_does_not_count_as_served(checkpoint):
     service = SegmentationService(checkpoint, crop=False)
     before = service.served
