@@ -15,8 +15,8 @@ own argparse, so `python -m ctseg_tpu evaluate --help` is exactly
 
 from __future__ import annotations
 
+import importlib
 import importlib.util
-import runpy
 import sys
 
 # command -> (module run as __main__, argv prefix injected before the
@@ -103,11 +103,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown command: {name!r}\n\n{_usage()}", file=sys.stderr)
         return 2
     module, prefix, _ = COMMANDS[name]
-    # Save/restore the global argv: runpy's alter_sys restores only
-    # argv[0], and programmatic callers (tests, embedders) must not see a
-    # clobbered sys.argv after main() returns.
-    saved_argv = sys.argv
-    sys.argv = [f"python -m ctseg_tpu {name}", *prefix, *rest]
     # Check resolvability up front (find_spec, no execution): an
     # ImportError raised WHILE the command runs (e.g. a missing optional
     # dependency deep in its work) must propagate as itself, not be
@@ -117,11 +112,20 @@ def main(argv: list[str] | None = None) -> int:
             "parity_report.py lives at the repo root — run "
             "`python -m ctseg_tpu parity` from the repository checkout"
         )
+    # Import the module and call its main() directly (every command target
+    # defines one, pinned by tests/test_main_dispatch.py) instead of
+    # runpy-re-executing it as __main__: re-execution creates a second copy
+    # of an already-imported module (the 'found in sys.modules'
+    # RuntimeWarning) with its own globals. The target parses the argv we
+    # install here; save/restore the global so programmatic callers (tests,
+    # embedders) never see a clobbered sys.argv after main() returns.
+    saved_argv = sys.argv
+    sys.argv = [f"python -m ctseg_tpu {name}", *prefix, *rest]
     try:
-        runpy.run_module(module, run_name="__main__", alter_sys=True)
+        ret = importlib.import_module(module).main()
     finally:
         sys.argv = saved_argv
-    return 0
+    return int(ret) if isinstance(ret, int) else 0
 
 
 if __name__ == "__main__":
