@@ -257,6 +257,12 @@ def eval_cold_warm(ws: Path, patch) -> dict:
         "warm_over_cold_vols_per_min": round(
             runs[1]["vols_per_min"] / max(runs[0]["vols_per_min"], 1e-9), 2
         ),
+        "note": (
+            "vols_per_min is the CLI's in-loop eval rate (windows+metrics); "
+            "cli_wall_s is the whole subprocess including the tunnel-bound "
+            "checkpoint restore and remote compiles, so it varies with "
+            "tunnel latency across sessions"
+        ),
     }
 
 
