@@ -65,3 +65,35 @@ def test_main_restores_sys_argv():
     with pytest.raises(SystemExit):
         main(["stats", "--help"])
     assert sys.argv == before
+
+
+def test_return_code_propagates(monkeypatch):
+    # The dispatcher calls the target's main() directly and returns its int
+    # exit code (non-int/None becomes 0).
+    import sys
+    import types
+    from importlib.machinery import ModuleSpec
+
+    from ctseg_tpu import __main__ as front
+
+    mod = types.ModuleType("_ctseg_fake_cmd")
+    mod.__spec__ = ModuleSpec("_ctseg_fake_cmd", loader=None)
+    mod.main = lambda: 7
+    monkeypatch.setitem(sys.modules, "_ctseg_fake_cmd", mod)
+    monkeypatch.setitem(front.COMMANDS, "fake", ("_ctseg_fake_cmd", (), "x"))
+    assert main(["fake"]) == 7
+    mod.main = lambda: None
+    assert main(["fake"]) == 0
+
+
+def test_no_reexecution_warning():
+    # Dispatching to an already-imported module must not re-execute it (the
+    # runpy-era 'found in sys.modules' RuntimeWarning).
+    import warnings
+
+    importlib.import_module("ctseg_tpu.data.stats")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        with pytest.raises(SystemExit) as e:
+            main(["stats", "--help"])
+    assert e.value.code == 0
