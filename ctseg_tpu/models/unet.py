@@ -52,6 +52,10 @@ class UNet(nn.Module):
     # polyphase_conv_transpose) instead of XLA's dilated-input lowering.
     # OFF by default — measured slower on v5e (see ConvTransposeUnit).
     polyphase_up: bool = False
+    # Strided shallow-Cin 3D convs (the stem family) as one lane-full 2D
+    # conv over the (D, Cin)-folded input (layers.py::ConvUnit.packed_depth;
+    # checkpoint-compatible). OFF by default — see the A/B verdict there.
+    packed_depth: bool = False
     # When True, encoder/decoder activations are exposed through flax's
     # perturb mechanism ('perturbations' collection) so GradCAM can take
     # gradients w.r.t. them (ctseg_tpu/interpret/gradcam.py). No-op for
@@ -99,6 +103,7 @@ class UNet(nn.Module):
             param_dtype=self.param_dtype,
             fused_norm_act=self.fused_norm_act,
             fused_conv_block=self.fused_conv_block,
+            packed_depth=self.packed_depth,
             name=name,
         )
         if self.num_res_units > 0:
@@ -198,6 +203,7 @@ class SegmentationModel(nn.Module):
     fused_norm_act: bool = False
     fused_conv_block: bool = False
     polyphase_up: bool = False
+    packed_depth: bool = False
     capture_features: bool = False
     # See UNet.spatial_mesh: GSPMD depth-axis partitioning for 3D volumes.
     spatial_mesh: Optional[jax.sharding.Mesh] = None
@@ -228,6 +234,7 @@ class SegmentationModel(nn.Module):
             fused_norm_act=self.fused_norm_act,
             fused_conv_block=self.fused_conv_block,
             polyphase_up=self.polyphase_up,
+            packed_depth=self.packed_depth,
             capture_features=self.capture_features,
             spatial_mesh=self.spatial_mesh,
             batch_axis=self.batch_axis,

@@ -81,6 +81,12 @@ class TrainConfig:
     # compatible; see models/layers.py::polyphase_conv_transpose).
     # OFF by default: measured slower than XLA's lowering on v5e.
     polyphase_up: bool = False
+    # Strided shallow-Cin 3D convs (the stem) as one lane-full 2D conv over
+    # the (D, Cin)-folded input (checkpoint-compatible; see
+    # models/layers.py::ConvUnit.packed_depth). OFF by default: 1.7x
+    # isolated but 0.986x on the compiled full 3D step (v5e,
+    # perf/ab_stem_packed_step_v5e.json).
+    packed_depth: bool = False
     spatial_dims: int = 2
     input_size: int = 256  # post-transform spatial size (reference: 256)
     # Optional overrides for non-square/3D inputs; None derives them from
@@ -185,6 +191,7 @@ class Trainer:
             # itself is also TPU-gated, models/layers.py::PReLU).
             fused_norm_act=config.fused_norm and mesh is None,
             polyphase_up=config.polyphase_up,
+            packed_depth=config.packed_depth,
             spatial_mesh=mesh if self._spatial else None,
         )
         self.loss = MultiLoss(

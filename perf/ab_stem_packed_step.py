@@ -42,6 +42,7 @@ def build_step(packed: bool):
         in_channels=1,
         compute_dtype="bfloat16",
         volumetric_mode="patch",
+        packed_depth=packed,
     )
     trainer = make_trainer_3d(config, mode="patch", patch_size=PATCH_3D)
     state = trainer.init_state()
@@ -72,23 +73,22 @@ def build_step(packed: bool):
 
 def main():
     assert jax.devices()[0].platform == "tpu", "run on the real chip"
-    # The gate must be held through init AND the first (tracing/compiling)
-    # step — the trainer jits lazily, so restoring it earlier would trace
-    # the packed path into the "native" executable.
+    # Both arms differ only in TrainConfig.packed_depth, which gates the
+    # stem fold inside ConvUnit (models/layers.py) — and the gate is sanity-
+    # checked open for this configuration so the A/B cannot silently
+    # measure native-vs-native.
+    assert sg.packed_depth_supported(
+        1, 64, 2, 3, ndim=3, depth=PATCH_3D[2]
+    ), "bench stem no longer satisfies the packed gate"
     step_p, state_p = build_step(True)
     for _ in range(3):
         state_p, m = step_p(state_p)
     float(m["loss/total"])
 
-    orig = sg.packed_depth_supported
-    sg.packed_depth_supported = lambda *a, **k: False
-    try:
-        step_n, state_n = build_step(False)
-        for _ in range(3):
-            state_n, m = step_n(state_n)
-        float(m["loss/total"])
-    finally:
-        sg.packed_depth_supported = orig
+    step_n, state_n = build_step(False)
+    for _ in range(3):
+        state_n, m = step_n(state_n)
+    float(m["loss/total"])
 
     times = {"packed": [], "native": []}
     for _ in range(4):  # interleave to cancel drift

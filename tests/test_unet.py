@@ -81,3 +81,28 @@ def test_forward_is_deterministic():
     out1 = model.apply(params, x)
     out2 = model.apply(params, x)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_packed_depth_flag_is_numerically_transparent():
+    """UNet(packed_depth=True) must produce the same outputs from the same
+    params as the native build: the flag only re-expresses the strided
+    Cin=1 stem conv as a (D, Cin)-folded 2D conv (exact math, see
+    ops/shallow_grad.py::conv_packed_depth). Checkpoint-compatible by
+    construction -- the param tree is identical."""
+    kw = dict(out_channels=10, channels=(4, 8, 16, 32, 64), num_res_units=2)
+    native = UNet(packed_depth=False, **kw)
+    packed = UNet(packed_depth=True, **kw)
+    from ctseg_tpu.ops.shallow_grad import packed_depth_supported
+
+    # (N, H, W, D, C): Cin=1, D=16 satisfies the packed gate at the stem.
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 16, 1))
+    assert packed_depth_supported(1, kw["channels"][0], 2, 3, ndim=3,
+                                  depth=x.shape[-2])
+    params = native.init(jax.random.key(0), x)
+    assert jax.tree.structure(packed.init(jax.random.key(0), x)) == (
+        jax.tree.structure(params)
+    )
+    out_n = native.apply(params, x)
+    out_p = packed.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_n),
+                               rtol=1e-9, atol=1e-9)
