@@ -42,6 +42,10 @@ def _write_sample(out_dir: Path, name: str, img0: np.ndarray,
     W&B project) — upload to an ACTIVE wandb run if one exists."""
     np.save(out_dir / f"{name}_gradcam.npy", cams)
     np.save(out_dir / f"{name}_pred.npy", preds)
+    # Upload failures must degrade to disk-only artifacts, matching the
+    # CLI's init-failure contract: a transient CommError (or any payload
+    # serialization error) on sample k must not abort the remaining
+    # samples' .npy/PNG writes. Hence Exception, not just ImportError.
     try:
         import wandb
 
@@ -69,8 +73,9 @@ def _write_sample(out_dir: Path, name: str, img0: np.ndarray,
                     },
                 }
             )
-    except ImportError:
-        pass
+    except Exception as e:
+        if not isinstance(e, ImportError):
+            print(f"wandb upload failed for {name} ({e!r}); disk-only")
     try:
         import matplotlib
 

@@ -289,7 +289,7 @@ class ConvUnit(nn.Module):
             )
         elif smallc_supported(
             x.shape[-1], self.features, self.stride, self.kernel_size,
-            ndim=ndim,
+            ndim=ndim, depth=x.shape[-2] if ndim == 3 else None,
         ):
             # Shallow-channel conv (the decoder's out_channels=10 sites):
             # identical forward, but the weight gradient uses the

@@ -50,6 +50,14 @@ from jax import lax
 # touching any lane-full site (the next-smallest model channel count is 64).
 SMALLC_THRESHOLD = 16
 
+# Deepest activation the merged (D, C)-fold dW is measured to win at. Its
+# redundant MACs grow O(D) and its (D+2p)*C x D*Co intermediate grows O(D^2),
+# so the win was swept across D on chip (perf/probe_merged_dw_depth.py ->
+# perf/merged_dw_depth_v5e.json): 1.47-1.87x at every D in 16..64, no
+# inversion found. Beyond the measured envelope the plain-conv rewrite falls
+# back to XLA's native dW rather than extrapolating.
+SMALLC_MERGED_MAX_DEPTH = 64
+
 _SPATIAL = {1: "H", 2: "HW", 3: "HWD"}
 
 
@@ -65,19 +73,26 @@ def _grad_dims(ndim: int):
 
 
 def smallc_supported(cin: int, cout: int, stride: int, kernel_size: int,
-                     transpose: bool = False, ndim: int = 3) -> bool:
+                     transpose: bool = False, ndim: int = 3,
+                     depth: int | None = None) -> bool:
     """Whether the reformulated weight grad serves this conv configuration.
 
     The plain-conv rewrite is 3D-only: it folds the depth axis into the
     feature dim (no 2D analogue — batchfeat ties native on the plain conv,
-    perf/convgrad_shallow_v5e.json). The transposed rewrite wins in both
-    ranks (2D: 5.24 -> 3.56 ms isolated, perf/convgrad_shallow2d_v5e.json).
+    perf/convgrad_shallow_v5e.json), and is depth-bounded at the measured
+    envelope (SMALLC_MERGED_MAX_DEPTH; pass the activation's depth — None
+    means "unknown", which keeps the rewrite for the D<=64 sites this model
+    family produces). The transposed rewrite has zero redundancy (batch is
+    the contracted dim, no depth fold) and wins in both ranks
+    (2D: 5.24 -> 3.56 ms isolated, perf/convgrad_shallow2d_v5e.json).
     """
     if min(cin, cout) > SMALLC_THRESHOLD:
         return False
     if transpose:
         # Derivation above assumes the unit's k=3 / s=2 torch-style padding.
         return kernel_size == 3 and stride == 2 and ndim in (2, 3)
+    if depth is not None and depth > SMALLC_MERGED_MAX_DEPTH:
+        return False
     return ndim == 3 and stride == 1 and kernel_size % 2 == 1
 
 

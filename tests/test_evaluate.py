@@ -171,8 +171,14 @@ def test_evaluate_3d_heterogeneous_depths_one_program(rng, monkeypatch):
     assert result["num_volumes"] == 3
 
     # Oracle: the pre-bucketing semantics — one static-grid runner per true
-    # shape, post-window zero padding up to the patch, exact slicing.
-    rows, valids = [], []
+    # shape, post-window zero padding up to the patch, exact slicing. HD95
+    # is oracled too: the bucket pad must not create phantom surface voxels
+    # (a true-extent boundary voxel is a surface voxel either way, because
+    # surface extraction uses border_value=0 — pad-zeros and the volume
+    # edge are indistinguishable to it).
+    from ctseg_tpu.metrics.hd95 import hd95_per_structure_device
+
+    rows, valids, hd_rows, hd_valids = [], [], [], []
     for img, lab in zip(images, labels):
         d, h, w = img.shape
         hp = tuple(max(s, p) for s, p in zip((h, w, d), patch))
@@ -189,6 +195,9 @@ def test_evaluate_3d_heterogeneous_depths_one_program(rng, monkeypatch):
         dice, valid = dice_per_sample_class(preds[None], target[None])
         rows.append(dice[0])
         valids.append(valid[0])
+        hd, hd_ok = hd95_per_structure_device(preds, target, 10)
+        hd_rows.append(hd)
+        hd_valids.append(hd_ok)
     per_class, _ = masked_mean_batch(jnp.stack(rows), jnp.stack(valids))
     from ctseg_tpu.constants import STRUCTURES
 
@@ -196,6 +205,15 @@ def test_evaluate_3d_heterogeneous_depths_one_program(rng, monkeypatch):
         [result["per_structure_dice"][s] for s in STRUCTURES],
         np.asarray(per_class), rtol=1e-6, atol=1e-7,
     )
+    hd_mean, hd_n = masked_mean_batch(jnp.stack(hd_rows), jnp.stack(hd_valids))
+    hd_mean, hd_n = np.asarray(hd_mean), np.asarray(hd_n)
+    assert result["hd95_unit"] == "voxel"
+    for s, v, n in zip(STRUCTURES, hd_mean, hd_n):
+        got = result["per_structure_hd95"][s]
+        if n == 0:
+            assert got is None
+        else:
+            np.testing.assert_allclose(got, float(v), rtol=1e-6, atol=1e-7)
 
 
 def test_sliding_window_throughput(rng):

@@ -129,6 +129,12 @@ def test_smallc_threshold_gates():
     assert smallc_supported(128, 10, 2, 3, transpose=True, ndim=2)  # 2D convT
     assert smallc_supported(128, 10, 2, 3, transpose=True)
     assert smallc_supported(10, 10, 1, 3, ndim=3)
+    # Depth bound: the merged dW's redundancy grows O(D); measured winning
+    # only through D=64 (perf/merged_dw_depth_v5e.json), native beyond.
+    assert smallc_supported(10, 10, 1, 3, ndim=3, depth=64)
+    assert not smallc_supported(10, 10, 1, 3, ndim=3, depth=65)
+    # The transposed rewrite has no depth fold — depth must not gate it.
+    assert smallc_supported(128, 10, 2, 3, transpose=True, depth=512)
 
 
 # ---------------------------------------------------------- integration
