@@ -172,39 +172,25 @@ def sliding_window_throughput(
     which on this container's tunneled TPU costs more than the compute
     itself (a local TPU host moves volumes at PCIe rates instead).
     """
-    from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
-    from ctseg_tpu.transforms.windowing import apply_window
+    from ctseg_tpu.inference.sliding_window import bucketed_swin_runner
 
     if len(dataset.images) == 0:
         raise ValueError("sliding_window_throughput: empty dataset")
 
     # One runner per BUCKET shape (depths rounded up to the window grid,
-    # window-count neutral — see _bucketed_grid): real PDDCA depths vary
-    # per patient, but every patient in a bucket shares one compiled
-    # program; each volume keeps its own exact clamped window grid, passed
-    # as a traced argument.
-    def make_infer(bucket_hwd):
-        runner = build_sliding_window_fn(
-            trainer.model.apply, bucket_hwd, patch_size, overlap=overlap,
-            batch_size=batch_size, out_channels=NUM_CLASSES,
-            dynamic_starts=True,
-        )
-
-        @jax.jit
-        def infer(params, img, starts):
-            vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
-            vol = apply_window(vol, 350, 20, shift=True)
-            logits = runner(params, vol, starts)
-            return squash_predictions(logits)
-
-        return infer
-
+    # window-count neutral), shared with predict/serve through
+    # `trainer._swin_cache`: a warm trainer that already served a split
+    # re-times here without recompiling, and the windowing/squash math
+    # cannot diverge between the timed path and the serving path.
+    patch_size = tuple(int(p) for p in patch_size)
     infer_fns = {}
     vols = []
     for img in dataset.images:
         bucket, starts = _bucketed_grid(img.shape, patch_size, overlap)
         if bucket not in infer_fns:
-            infer_fns[bucket] = make_infer(bucket)
+            infer_fns[bucket] = bucketed_swin_runner(
+                trainer, bucket, patch_size, overlap, batch_size
+            )
         padded = _pad_volume_dhw(img, bucket, fill=-1024.0)
         vols.append((bucket, jnp.asarray(padded), jnp.asarray(starts)))
     for bucket, v, s in vols:  # compile every bucket + stage sync

@@ -61,15 +61,16 @@ def _model_for_dtype(
     bfloat16 (41x) — an f32-trained checkpoint should usually be exported
     with infer_dtype='bfloat16' for TPU serving.
 
-    The Pallas fusion / polyphase flags are cloned OFF when 'cpu' is among
-    the target platforms: their TPU Mosaic custom calls cannot lower for
-    CPU, and all three are parameter-free drop-ins for the plain XLA path
-    (checkpoint-compatible by design), so the exported numerics are
-    unchanged. A TPU-only export (--platforms tpu) keeps the checkpoint's
-    fusion flags, preserving the measured Pallas speedups in the artifact.
+    The Pallas fusion / polyphase flags are cloned OFF unless EVERY target
+    platform is tpu: their TPU Mosaic custom calls cannot lower for any
+    other backend, and all three are parameter-free drop-ins for the plain
+    XLA path (checkpoint-compatible by design), so the exported numerics
+    are unchanged. A TPU-only export (--platforms tpu) keeps the
+    checkpoint's fusion flags, preserving the measured Pallas speedups in
+    the artifact.
     """
     overrides = {}
-    if "cpu" in platforms:
+    if any(p != "tpu" for p in platforms):
         overrides.update(fused_norm_act=False, fused_conv_block=False,
                          polyphase_up=False)
     if infer_dtype not in (None, "checkpoint"):

@@ -73,44 +73,6 @@ def predict_labels_2d(
     return out
 
 
-def _bucketed_swin_runner(
-    trainer: Trainer,
-    bucket_hwd: Tuple[int, int, int],
-    patch_size: Tuple[int, int, int],
-    overlap: float,
-    batch_size: int,
-):
-    """One cached jitted 3D inference program per window-grid bucket.
-
-    Cached on the Trainer instance (`trainer._swin_cache`) so repeated
-    `predict_scan` calls — the predict CLI looping over a split, or the
-    warm HTTP server — reuse one compiled program for every scan whose
-    extents fall in the same bucket (real PDDCA depths vary per patient;
-    a per-shape jit here cost one 30-90s remote compile PER SCAN on the
-    tunneled v5e; see evaluate.py's identical bucketing, measured 2.72x
-    on cold mixed-depth eval in perf/probe_cold_eval.py)."""
-    from ctseg_tpu.inference.sliding_window import build_sliding_window_fn
-    from ctseg_tpu.transforms.windowing import apply_window
-
-    cache = trainer.__dict__.setdefault("_swin_cache", {})
-    key = (bucket_hwd, patch_size, overlap, batch_size)
-    if key not in cache:
-        runner = build_sliding_window_fn(
-            trainer.model.apply, bucket_hwd, patch_size, overlap=overlap,
-            batch_size=batch_size, out_channels=NUM_CLASSES,
-            dynamic_starts=True,
-        )
-
-        @jax.jit
-        def infer(params, img, starts):
-            vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
-            vol = apply_window(vol, 350, 20, shift=True)
-            return squash_predictions(runner(params, vol, starts))
-
-        cache[key] = infer
-    return cache[key]
-
-
 def predict_labels_3d(
     trainer: Trainer,
     params,
@@ -126,12 +88,16 @@ def predict_labels_3d(
     traced argument, so predictions inside the true extent are
     bit-identical to per-shape compilation while scans of nearby depths
     share one compiled program (sliding_window.bucketed_grid)."""
-    from ctseg_tpu.inference.sliding_window import bucketed_grid, pad_volume_dhw
+    from ctseg_tpu.inference.sliding_window import (
+        bucketed_grid,
+        bucketed_swin_runner,
+        pad_volume_dhw,
+    )
 
     d, h, w = volume.shape
     patch_size = tuple(int(p) for p in patch_size)
     bucket, starts = bucketed_grid(volume.shape, patch_size, overlap)
-    infer = _bucketed_swin_runner(
+    infer = bucketed_swin_runner(
         trainer, bucket, patch_size, overlap, batch_size
     )
     # -1024 HU (air) pad: soft-tissue windowing clips+shifts it to exactly

@@ -61,9 +61,8 @@ def resolve_released(source: str, name: str, out_dir: Path) -> Path:
         tmp.unlink(missing_ok=True)
         raise RuntimeError(
             f"could not download {url} ({e}); fetch it on a connected "
-            f"machine and point the released-checkpoint source at a dir "
-            f"containing {fname} (--released_source in predict/serve/"
-            f"interpret, --from_released <dir> in parity)"
+            f"machine and pass --released_source <dir containing {fname}> "
+            f"(the same flag on predict/serve/interpret/evaluate/parity)"
         ) from e
     return dest
 

@@ -122,9 +122,19 @@ class Volume:
 
     @property
     def spacing(self) -> Optional[np.ndarray]:
-        """Voxel spacing, z-first to match the (C, D, H, W) layout."""
+        """Voxel spacing, z-first to match the (C, D, H, W) layout.
+
+        The header's space-directions diagonal is per RAW file axis —
+        (H, W, D) order (load_nrrd_as_array) — so the permutation here must
+        mirror the data transpose exactly: (s_D, s_H, s_W). A plain reversal
+        would swap the in-plane spacings (invisible on isotropic-in-plane
+        scans like PDDCA, wrong in mm on anisotropic ones); the reference's
+        `spacing` (miccai.py:77-82) is display-only so its order was never
+        load-bearing, ours feeds the mm HD95.
+        """
         if self.header is not None and "space directions" in self.header:
-            return np.asarray(self.header["space directions"]).diagonal()[::-1]
+            diag = np.asarray(self.header["space directions"]).diagonal()
+            return diag[[2, 0, 1]]
         return None
 
     def crop(self, box: CropBox) -> "Volume":

@@ -20,10 +20,11 @@ or, today, end-to-end on synthetic data (small model, few epochs):
 
     python parity_report.py --synthetic --max_epochs 2
 
-An alternative path that avoids retraining: convert the reference's released
-checkpoints (capstone/paths.py:46-49) with
-ctseg_tpu.models.torch_import.load_reference_checkpoint and pass
---checkpoint to evaluate them directly.
+An alternative path that avoids retraining: evaluate the reference's
+released checkpoints (capstone/paths.py:46-49) directly with
+`--from_released model_l model_m [--released_source DIR|URL|github]` —
+the same flag pair every inference CLI uses — or pass a single imported
+.ckpt via --checkpoint.
 """
 
 import argparse
@@ -166,12 +167,17 @@ def main():
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="evaluate a reference .ckpt (torch) instead of "
                         "training; applies to the first model in --models")
-    parser.add_argument("--from_released", type=str, default=None,
+    parser.add_argument("--from_released", nargs="+", default=None,
+                        choices=sorted(RELEASED_FILES),
                         help="evaluate the reference's RELEASED checkpoints "
-                        "for every model in --models: a directory holding "
-                        "model_large.ckpt/model_mixup.ckpt, a .ckpt file, a "
-                        "URL prefix, or 'github' (the release URLs; needs "
-                        "egress)")
+                        "for these models instead of retraining (overrides "
+                        "--models; resolved via --released_source — the "
+                        "same flag pair as predict/serve/evaluate/interpret)")
+    parser.add_argument("--released_source", type=str, default="github",
+                        help="where the released .ckpt files live: a "
+                        "directory holding model_large.ckpt/model_mixup.ckpt,"
+                        " a .ckpt file, a URL prefix, or 'github' (the "
+                        "release URLs; needs egress)")
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--synthetic", action="store_true", default=False,
@@ -194,9 +200,10 @@ def main():
             "PDDCA data for the actual parity claim.\n"
         )
     payload = {"synthetic": args.synthetic, "models": {}}
-    for name in args.models:
+    names = args.from_released if args.from_released else args.models
+    for name in names:
         if args.from_released:
-            ckpt = resolve_released(args.from_released, name, args.out_dir)
+            ckpt = resolve_released(args.released_source, name, args.out_dir)
             result = evaluate_checkpoint(str(ckpt), name, data_dir, args)
         elif args.checkpoint and name == args.models[0]:
             result = evaluate_checkpoint(args.checkpoint, name, data_dir, args)

@@ -100,10 +100,12 @@ def test_cli_train_full_data_saves_and_tests(
 
 
 def test_parity_report_from_released(tiny_data_dir, tmp_path, monkeypatch):
-    """`parity_report.py --from_released <dir>`: a synthesized reference
-    Lightning checkpoint (released-file layout, model_large.ckpt) is
-    resolved, imported through load_reference_checkpoint, and evaluated on
-    the packed test split — the no-retraining parity path, runnable today."""
+    """`parity_report.py --from_released model_l --released_source <dir>`
+    (the flag pair shared with predict/serve/evaluate/interpret): a
+    synthesized reference Lightning checkpoint (released-file layout,
+    model_large.ckpt) is resolved, imported through
+    load_reference_checkpoint, and evaluated on the packed test split —
+    the no-retraining parity path, runnable today."""
     import torch
 
     import parity_report
@@ -134,8 +136,8 @@ def test_parity_report_from_released(tiny_data_dir, tmp_path, monkeypatch):
     out = tmp_path / "parity_out"
     monkeypatch.setattr(
         "sys.argv",
-        ["parity_report.py", "--models", "model_l",
-         "--from_released", str(released),
+        ["parity_report.py", "--from_released", "model_l",
+         "--released_source", str(released),
          "--data_dir", str(tiny_data_dir), "--out_dir", str(out)],
     )
     parity_report.main()

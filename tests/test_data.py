@@ -90,6 +90,28 @@ def test_convert_and_pack_3d(tmp_path):
     np.testing.assert_array_equal(back.images[1], ds.images[1])
 
 
+def test_volume_spacing_matches_axis_permutation(tmp_path):
+    """Volume.spacing must be permuted exactly like the data axes.
+
+    NRRD raw axes are (H, W, D); load_nrrd_as_array transposes to
+    (C, D, H, W), so spacing must come out (s_D, s_H, s_W). Distinct
+    spacings AND distinct extents per axis pin the mapping — a plain
+    diagonal reversal (the historical bug) would swap the in-plane
+    spacings, which isotropic-in-plane fixtures cannot detect."""
+    from ctseg_tpu.utils import nrrd_io
+
+    img = np.zeros((4, 6, 8), np.int16)  # (H, W, D) raw file layout
+    nrrd_io.write(
+        tmp_path / "v.nrrd", img,
+        header={"space directions": np.diag([10.0, 20.0, 30.0])},
+    )
+    vol = miccai.Volume.from_nrrd(tmp_path / "v.nrrd")
+    assert vol.data.shape == (1, 8, 4, 6)  # (C, D, H, W)
+    # z-first spacing: D axis (extent 8) has spacing 30, H (4) has 10,
+    # W (6) has 20.
+    np.testing.assert_allclose(vol.spacing, [30.0, 10.0, 20.0])
+
+
 def test_pack_3d_carries_voxel_spacing(tmp_path):
     """Spacing flows NRRD header -> converter npz -> packed file -> load,
     z-first (the reference's npz contract drops it; HD95-in-mm needs it).

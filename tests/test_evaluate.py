@@ -236,6 +236,10 @@ def test_sliding_window_throughput(rng):
     )
     assert r["vols_per_min"] > 0 and r["num_volumes"] == 2
     assert r["compiled_programs"] == 1
+    # The timed runner is the SAME cached program predict/serve use
+    # (sliding_window.bucketed_swin_runner on trainer._swin_cache): a warm
+    # serving trainer re-times without recompiling.
+    assert len(tr._swin_cache) == 1
 
     # Mixed depths in one grid bucket also share a single runner.
     ds_mixed = PackedDataset3D(

@@ -82,8 +82,9 @@ def test_export_drops_tpu_only_fusion_flags(tmp_path):
 
 def test_tpu_only_export_keeps_fusion_flags():
     """--platforms tpu keeps the checkpoint's Pallas fusion flags in the
-    artifact (the measured speedups survive); only a cpu target forces
-    them off."""
+    artifact (the measured speedups survive); any non-tpu target forces
+    them off — Mosaic custom calls lower only for TPU, so e.g.
+    `--platforms tpu cuda` must drop them even though tpu is listed."""
     from ctseg_tpu.inference.export import _model_for_dtype
 
     cfg = TrainConfig(filters=(4, 8), num_res_units=1, input_size=32,
@@ -98,6 +99,13 @@ def test_tpu_only_export_keeps_fusion_flags():
     model_bf16 = _model_for_dtype(tr, "bfloat16", platforms=("tpu",))
     assert model_bf16.dtype == jnp.bfloat16
     assert model_bf16.fused_conv_block
+    # Any non-tpu platform in the list clears the flags, not just 'cpu'
+    # (pre-fix, --platforms cuda kept un-lowerable Mosaic calls).
+    for platforms in (("tpu", "cuda"), ("cuda",), ("rocm", "tpu")):
+        m = _model_for_dtype(tr, None, platforms=platforms)
+        assert not m.fused_norm_act
+        assert not m.fused_conv_block
+        assert not m.polyphase_up
 
 
 def test_symbolic_batch(trainer2d, tmp_path):

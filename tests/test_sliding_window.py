@@ -19,6 +19,30 @@ def test_window_grid_covers_volume():
     assert starts[:, 0].max() == 36 and starts[:, 1].max() == 36
 
 
+def test_pad_volume_unsigned_dtype_keeps_air_fill():
+    """-1024 HU pad fill must survive unsigned scan dtypes.
+
+    np.full(-1024, dtype=uint16) silently wraps to 64512, which the
+    soft-tissue window maps to 1.0 (max-intensity tissue) instead of 0.0
+    (air) — changing boundary-window predictions. The pad must promote to
+    float32 instead; signed dtypes keep their compact layout."""
+    from ctseg_tpu.inference.sliding_window import pad_volume_dhw
+    from ctseg_tpu.transforms.windowing import apply_window
+
+    for dt in (np.uint16, np.uint8):
+        arr = np.full((4, 8, 8), 500, dtype=dt)  # (D, H, W)
+        out = pad_volume_dhw(arr, (16, 16, 8), fill=-1024.0)
+        assert out.dtype == np.float32
+        assert out[-1, -1, -1] == -1024.0
+        np.testing.assert_array_equal(out[:4, :8, :8], arr)
+        windowed = np.asarray(apply_window(jnp.asarray(out), 350, 20, shift=True))
+        assert windowed[-1, -1, -1] == 0.0
+    # int16 represents the fill: no promotion.
+    arr = np.full((4, 8, 8), 500, dtype=np.int16)
+    out = pad_volume_dhw(arr, (16, 16, 8), fill=-1024.0)
+    assert out.dtype == np.int16 and out[-1, -1, -1] == -1024
+
+
 def test_bucket_axis_window_count_neutral():
     """The whole bucketed-compile design rests on this property: rounding
     an axis up to the window grid never changes the number of windows, so
