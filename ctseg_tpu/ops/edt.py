@@ -33,17 +33,14 @@ def _scan_distance_1d(sites: jnp.ndarray) -> jnp.ndarray:
     w = sites.shape[-1]
     init = jnp.full(sites.shape[:-1], _BIG, jnp.float32)
 
-    def fwd(carry, s):
-        carry = jnp.where(s, 0.0, carry + 1.0)
-        return carry, carry
-
-    def bwd(carry, s):
+    def step(carry, s):
+        # Direction comes from the scan's reverse flag, not the body.
         carry = jnp.where(s, 0.0, carry + 1.0)
         return carry, carry
 
     xs = jnp.moveaxis(sites, -1, 0)  # scan over W
-    _, f = jax.lax.scan(fwd, init, xs)
-    _, b = jax.lax.scan(bwd, init, xs, reverse=True)
+    _, f = jax.lax.scan(step, init, xs)
+    _, b = jax.lax.scan(step, init, xs, reverse=True)
     dist = jnp.minimum(f, b)
     return jnp.moveaxis(dist, 0, -1)
 

@@ -31,14 +31,39 @@ def resize_image_and_label(image, label, size):
     return img, lab
 
 
+def _separable_resample(image, label, wy, wx, ny, nx):
+    """Apply row/column weight matrices as two einsum passes: (wy, wx) for
+    the image, (ny, nx) for the label. Each matrix is (L_out, L_in); the
+    image pair is typically bilinear (or exact one-hot) and the label pair
+    one-hot, so label values never mix. Runs on the MXU under vmap — a
+    vmapped per-sample gather would dominate the whole train step on TPU
+    (measured 100+ ms per 128-batch; CLAUDE.md rule 1)."""
+    img2 = image if image.ndim == 3 else image[..., None]
+    out = jnp.einsum(
+        "ih,hwc->iwc", wy, img2.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "jw,iwc->ijc", wx, out, preferred_element_type=jnp.float32
+    )
+    img = out.astype(image.dtype) if image.ndim == 3 else out[..., 0].astype(image.dtype)
+
+    lab32 = jnp.einsum(
+        "ih,hw->iw", ny, label.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    lab32 = jnp.einsum(
+        "jw,iw->ij", nx, lab32, preferred_element_type=jnp.float32
+    )
+    return img, lab32.astype(label.dtype)
+
+
 def random_crop(key, image, label, size: Tuple[int, int]):
     """Uniform random crop to `size` (A.RandomCrop).
 
     TPU note: implemented as one-hot selection matmuls (crop = S_h @ X @
-    S_w^T) so per-sample crops ride the MXU under vmap — a vmapped
-    dynamic_slice lowers to per-row gathers that dominate the whole train
-    step on TPU (measured 100+ ms per 128-batch). Selection matrices are
-    exact (0/1), so values are bit-identical to slicing.
+    S_w^T); selection matrices are exact (0/1), so values are bit-identical
+    to slicing.
     """
     h, w = image.shape[0], image.shape[1]
     kh, kw = jax.random.split(key)
@@ -49,37 +74,7 @@ def random_crop(key, image, label, size: Tuple[int, int]):
     cols = left + jnp.arange(size[1])
     sel_h = (rows[:, None] == jnp.arange(h)[None, :]).astype(jnp.float32)
     sel_w = (cols[:, None] == jnp.arange(w)[None, :]).astype(jnp.float32)
-
-    img2 = image if image.ndim == 3 else image[..., None]
-    out = jnp.einsum(
-        "ih,hwc->iwc", sel_h, img2.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    out = jnp.einsum(
-        "jw,iwc->ijc", sel_w, out, preferred_element_type=jnp.float32
-    )
-    img = out.astype(image.dtype) if image.ndim == 3 else out[..., 0].astype(image.dtype)
-
-    lab32 = jnp.einsum(
-        "ih,hw->iw", sel_h, label.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    lab32 = jnp.einsum(
-        "jw,iw->ij", sel_w, lab32, preferred_element_type=jnp.float32
-    )
-    lab = lab32.astype(label.dtype)
-    return img, lab
-
-
-def center_crop(image, label, size: Tuple[int, int]):
-    h, w = image.shape[0], image.shape[1]
-    top, left = (h - size[0]) // 2, (w - size[1]) // 2
-    return (
-        jax.lax.dynamic_slice(
-            image, (top, left) + (0,) * (image.ndim - 2), size + image.shape[2:]
-        ),
-        jax.lax.dynamic_slice(label, (top, left), size),
-    )
+    return _separable_resample(image, label, sel_h, sel_w, sel_h, sel_w)
 
 
 def horizontal_flip(key, image, label, p: float = 0.5):
@@ -127,15 +122,28 @@ def _gaussian_blur_1d(x: jnp.ndarray, sigma: float, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
+def _reflect_101(coords: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Fold coordinates into [0, length-1] by mirror reflection about the
+    edge pixels' centers (cv2 BORDER_REFLECT_101 == scipy/jax map_coordinates
+    mode='mirror') — the border Albumentations' warps use by default."""
+    if length == 1:
+        return jnp.zeros_like(coords)
+    period = 2.0 * (length - 1.0)
+    t = jnp.mod(coords, period)
+    return jnp.where(t > length - 1.0, period - t, t)
+
+
 def _shear_pass_vertical(img, alpha_c, beta_c, ty, order):
     """mid[y, x] = img[alpha*y + beta*x + ty, x] via per-column interpolation
-    matmuls (einsum on the MXU; per-pixel gathers are ~100x slower on TPU)."""
+    matmuls (einsum on the MXU; per-pixel gathers are ~100x slower on TPU).
+    Out-of-range source rows reflect (REFLECT_101), matching the gather
+    path's mode='mirror' and Albumentations' default border."""
     h, w = img.shape[0], img.shape[1]
     y_out = jnp.arange(h, dtype=jnp.float32)
     x_idx = jnp.arange(w, dtype=jnp.float32)
     # coords[x, y_out] = source y for each column
     coords = alpha_c * y_out[None, :] + beta_c * x_idx[:, None] + ty
-    coords = jnp.clip(coords, 0.0, h - 1.0)
+    coords = _reflect_101(coords, h)
     y_in = jnp.arange(h, dtype=jnp.float32)
     if order == 1:
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - y_in))
@@ -151,12 +159,14 @@ def _shear_pass_vertical(img, alpha_c, beta_c, ty, order):
 
 
 def _shear_pass_horizontal(img, gamma_c, delta_c, tx, order):
-    """out[y, x] = img[y, gamma*x + delta*y + tx] via per-row matmuls."""
+    """out[y, x] = img[y, gamma*x + delta*y + tx] via per-row matmuls.
+    Out-of-range source columns reflect (REFLECT_101), as in the vertical
+    pass."""
     h, w = img.shape[0], img.shape[1]
     x_out = jnp.arange(w, dtype=jnp.float32)
     y_idx = jnp.arange(h, dtype=jnp.float32)
     coords = gamma_c * x_out[None, :] + delta_c * y_idx[:, None] + tx  # (y, x_out)
-    coords = jnp.clip(coords, 0.0, w - 1.0)
+    coords = _reflect_101(coords, w)
     x_in = jnp.arange(w, dtype=jnp.float32)
     if order == 1:
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - x_in))
@@ -176,9 +186,15 @@ def _affine_warp_two_pass(image, label, Minv, binv):
     decomposition: a vertical pass (y' = a*y + b*x) then a horizontal pass
     (x' = g*x + d*y), each an interpolation matmul. (y, x) coordinate order.
 
-    Minv rows/cols ordered (y, x). Falls back assumption: Minv[0, 0] != 0
-    (true for any near-identity affine; the jittered-corner affines here are
-    bounded perturbations of I).
+    Minv rows/cols ordered (y, x). Precondition: Minv[1, 1] != 0 — the
+    decomposition divides by it (beta = m01/m11). True for any near-identity
+    affine; the jittered-corner affines here are bounded perturbations of I.
+    A caller with a rotation-like map (m11 ~ 0) must pre-compose a rot90.
+
+    Borders: each pass reflects its 1D source coordinate (REFLECT_101).
+    In-range pixels are exact; in border bands this equals composed
+    REFLECT_101 resampling up to the shear cross terms (|b|, |d| << 1 for
+    the bounded affines used here).
     """
     # Composition: mid[q] = in[V q + tv] (vertical), out[p] = mid[H p + th]
     # (horizontal), so src = (V H) p + V th + tv with V = [[a, b], [0, 1]],
@@ -313,7 +329,13 @@ def _distortion_map(key, length: int, num_steps: int, distort_limit: float):
         else:
             cur = prev + step * steps[idx]
         n = end - start
-        seg = prev + (cur - prev) * jnp.arange(n, dtype=jnp.float32) / max(n, 1)
+        # Endpoint-INCLUSIVE, matching Albumentations' np.linspace(prev, cur,
+        # n): the cell's last pixel reaches cur, which the next cell's first
+        # pixel then duplicates.
+        if n > 1:
+            seg = prev + (cur - prev) * jnp.arange(n, dtype=jnp.float32) / (n - 1)
+        else:
+            seg = jnp.full((1,), prev, jnp.float32)
         segments.append(seg)
         prev = cur
         start = end
@@ -355,25 +377,14 @@ def grid_distortion(
     map_x = _distortion_map(kx, w, num_steps, distort_limit)  # (W,)
     map_y = _distortion_map(ky, h, num_steps, distort_limit)  # (H,)
 
-    wy = _bilinear_matrix(map_y, h)
-    wx = _bilinear_matrix(map_x, w)
-    img_w = jnp.einsum(
-        "ih,hwc->iwc", wy, image.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    img_w, lab_w = _separable_resample(
+        image,
+        label,
+        _bilinear_matrix(map_y, h),
+        _bilinear_matrix(map_x, w),
+        _nearest_matrix(map_y, h),
+        _nearest_matrix(map_x, w),
     )
-    img_w = jnp.einsum(
-        "jw,iwc->ijc", wx, img_w, preferred_element_type=jnp.float32
-    ).astype(image.dtype)
-
-    ny = _nearest_matrix(map_y, h)
-    nx = _nearest_matrix(map_x, w)
-    lab_w = jnp.einsum(
-        "ih,hw->iw", ny, label.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    lab_w = jnp.einsum(
-        "jw,iw->ij", nx, lab_w, preferred_element_type=jnp.float32
-    ).astype(label.dtype)
 
     do = jax.random.bernoulli(k_apply, p)
     return jnp.where(do, img_w, image), jnp.where(do, lab_w, label)

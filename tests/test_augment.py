@@ -124,3 +124,77 @@ def test_elastic_default_uses_affine_fast_path(rng):
         jax.random.key(7), img, lab, alpha=40.0, sigma=8.0, p=1.0
     )
     assert np.isfinite(np.asarray(oi2)).all()
+
+
+def test_reflect_101_matches_map_coordinates_mirror(rng):
+    """_reflect_101 folds coordinates exactly like map_coordinates
+    mode='mirror' (cv2 BORDER_REFLECT_101, Albumentations' default)."""
+    n = 11
+    row = jnp.asarray(rng.random(n).astype(np.float32))
+    coords = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-2 * n, 3 * n, size=64),
+                np.array([0.0, n - 1.0, -0.5, n - 0.5, -(n - 1.0), 2.0 * (n - 1.0)]),
+            ]
+        ).astype(np.float32)
+    )
+    ref = map_coordinates(row, [coords], order=1, mode="mirror")
+    folded = augment._reflect_101(coords, n)
+    got = map_coordinates(row, [folded], order=1, mode="nearest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_shear_pass_border_reflects(rng):
+    """A pure vertical translation far past the edge must read mirrored
+    interior rows (REFLECT_101), not edge-replicated ones — the border
+    behavior Albumentations' warps use. (With beta=0 the pass's 1D source
+    coordinate equals the composed map, so the gather oracle is exact.)"""
+    h, w = 16, 12
+    img = jnp.asarray(rng.random((h, w, 2)).astype(np.float32))
+    ty = 6.3  # rows 10..15 map past h-1
+    out = augment._shear_pass_vertical(img, 1.0, 0.0, ty, order=1)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    for c in range(2):
+        ref = map_coordinates(
+            img[..., c], [jnp.asarray(ys + ty), jnp.asarray(xs)],
+            order=1, mode="mirror",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[..., c]), np.asarray(ref), atol=1e-5
+        )
+    # Edge-replication would give identical out-of-range rows; mirrored
+    # rows must differ from the last valid one.
+    assert not np.allclose(np.asarray(out[-1]), np.asarray(out[-3]))
+
+
+def test_distortion_map_matches_albumentations_linspace(rng):
+    """_distortion_map reproduces Albumentations' endpoint-INCLUSIVE
+    np.linspace map pixel-for-pixel given the same steps vector
+    (A.GridDistortion's xx/yy construction)."""
+    length, num_steps, limit = 50, 5, 0.3
+    key = jax.random.key(9)
+    got = np.asarray(augment._distortion_map(key, length, num_steps, limit))
+
+    steps = np.asarray(
+        1.0
+        + jax.random.uniform(
+            key, (num_steps + 1,), jnp.float32, -limit, limit
+        )
+    )
+    step = length // num_steps
+    xx = np.zeros(length, np.float32)
+    prev = 0.0
+    for idx in range(num_steps + 1):
+        start = idx * step
+        if start >= length:
+            break
+        end = start + step
+        if end > length:
+            end = length
+            cur = float(length)
+        else:
+            cur = prev + step * steps[idx]
+        xx[start:end] = np.linspace(prev, cur, end - start)
+        prev = cur
+    np.testing.assert_allclose(got, xx, rtol=1e-6, atol=1e-5)
