@@ -130,6 +130,11 @@ def _config_from_args(args, mixup: bool) -> TrainConfig:
         from ctseg_tpu.models.presets import PRESETS
         import dataclasses
 
+        if PRESETS[args.preset].spatial_dims != 2:
+            raise SystemExit(
+                f"--preset {args.preset} is a 3D configuration; use the "
+                "train_3d subcommand for it"
+            )
         return dataclasses.replace(
             PRESETS[args.preset],
             epochs=args.max_epochs or 200,
@@ -277,14 +282,18 @@ def run_2d(args, mixup: bool) -> None:
         return
 
     if args.use_full_data:
-        # Final model: save + test (reference base_trainer.py:244-246).
-        name = "model_mixup" if mixup else "model_large"
+        # Final model: save + test (reference base_trainer.py:244-246). The
+        # artifact name follows the TRAINED config, not the subcommand: a
+        # --preset can flip mixup relative to the entry point, and resume
+        # takes its config from the checkpoint.
+        name = "model_mixup" if config.mixup else "model_large"
         out = Path(DEFAULT_DATA_STORAGE) / name
         trainer.save(out, state)
         test = PackedDataset2D.load(data_dir / "test_packed.npz")
         test_bs = _fit_batch(config.batch_size, len(test), divisor)
         metrics = trainer.eval_epoch(
-            state.params, DevicePipeline2D(test, test_bs), "test", logger
+            state.params, DevicePipeline2D(test, test_bs), "test", logger,
+            step=int(state.step),
         )
         print({k: round(v, 4) for k, v in metrics.items()})
     logger.close()

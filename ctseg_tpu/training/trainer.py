@@ -199,7 +199,10 @@ class Trainer:
         )
         self.needs_dist_maps = "Boundary" in config.loss_fx
         self.dice = DiceMetric()
-        if config.spatial_dims == 3 and train_transform is None:
+        # Each side falls back independently: a 3D trainer given only a
+        # train_transform must NOT silently evaluate through the 2D resize
+        # pipeline below.
+        if config.spatial_dims == 3:
             from ctseg_tpu.volumetric.trainer3d import (
                 _identity_transform,
                 _windowed_patch_transform,
@@ -587,7 +590,15 @@ class Trainer:
                                step=int(state.step))
                 if preempted["flag"]:
                     if checkpoint_dir:
-                        async_ckpt.wait()  # order after any in-flight save
+                        # Order after any in-flight save, but a STALE async
+                        # failure (e.g. a transient disk error at an earlier
+                        # periodic save) must not abort the grace-period
+                        # save — the synchronous attempt below is the last
+                        # chance to persist progress.
+                        try:
+                            async_ckpt.wait()
+                        except RuntimeError as e:
+                            print(f"ignoring earlier async save failure: {e}")
                         self.save(checkpoint_dir, state)
                     if logger is not None:
                         logger.log({"preempted_at_epoch": epoch},

@@ -43,6 +43,12 @@ class DevicePipeline3D:
     ):
         self.batch_size = batch_size
         self.size = len(dataset)
+        # Same contract as DevicePipeline2D: a batch larger than the split
+        # would make num_batches() == 0 and silently train nothing.
+        assert self.size >= batch_size, (
+            f"batch_size {batch_size} exceeds the dataset's {self.size} "
+            "volumes — no full batch can be formed"
+        )
         h, w, d = shape
 
         resize = jax.jit(lambda v: _nearest_resize_3d(v, (h, w, d)))

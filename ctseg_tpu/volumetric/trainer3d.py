@@ -27,7 +27,7 @@ from ctseg_tpu.parallel import make_mesh
 from ctseg_tpu.paths import DEFAULT_DATA_STORAGE
 from ctseg_tpu.training.logging import MetricLogger
 from ctseg_tpu.training.trainer import TrainConfig, Trainer
-from ctseg_tpu.transforms.windowing import apply_window
+from ctseg_tpu.transforms.windowing import soft_tissue_window
 from ctseg_tpu.volumetric.pipeline3d import RESIZE_SHAPE, DevicePipeline3D
 
 
@@ -40,7 +40,7 @@ def _identity_transform(key, image, label):
 def _windowed_patch_transform(key, image, label):
     """Patch mode: soft-tissue windowing + random flips along H/W."""
     k1, k2 = jax.random.split(key)
-    img = apply_window(image, 350, 20, shift=True)[..., None]
+    img = soft_tissue_window(image)
     do_h = jax.random.bernoulli(k1, 0.5)
     do_w = jax.random.bernoulli(k2, 0.5)
     img = jnp.where(do_h, jnp.flip(img, 0), img)
@@ -53,10 +53,22 @@ def _windowed_patch_transform(key, image, label):
 def make_trainer_3d(
     config: Optional[TrainConfig] = None,
     mode: str = "resize",
-    patch_size: Tuple[int, int, int] = (128, 128, 48),
+    patch_size: Optional[Tuple[int, int, int]] = None,
     mesh=None,
 ) -> Trainer:
-    """Build a 3D trainer. `config` defaults to reference-parity settings."""
+    """Build a 3D trainer. `config` defaults to reference-parity settings.
+
+    `patch_size` (patch mode) sets the training grid whether or not a
+    config is supplied — with a config it overrides `config.input_shape`,
+    so callers don't have to duplicate it into the config by hand.
+    """
+    import dataclasses
+
+    if config is not None and mode == "patch" and patch_size is not None:
+        if tuple(config.input_shape or ()) != tuple(patch_size):
+            config = dataclasses.replace(config, input_shape=tuple(patch_size))
+    if patch_size is None:
+        patch_size = (128, 128, 48)
     if config is None:
         config = TrainConfig(
             filters=(64, 128, 256, 512, 1024),
@@ -72,8 +84,6 @@ def make_trainer_3d(
             # patience preserves that behavior through the shared machinery
             plateau_patience=10_000,
         )
-    import dataclasses
-
     if config.volumetric_mode != mode:
         config = dataclasses.replace(config, volumetric_mode=mode)
     transform = (
@@ -86,36 +96,59 @@ def make_trainer_3d(
 
 def run_3d_training(args) -> None:
     """CLI entry (python -m ctseg_tpu.training.cli train_3d)."""
-    data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_3d"))
-    train = PackedDataset3D.load(data_dir / "train_packed.npz")
-    valid = PackedDataset3D.load(data_dir / "valid_packed.npz")
-
     mode = getattr(args, "volumetric_mode", None) or "resize"
     patch_size = tuple(getattr(args, "patch_size", None) or (128, 128, 48))
     resize_shape = tuple(
         getattr(args, "resize_shape", None) or RESIZE_SHAPE
     )
-    config = TrainConfig(
-        filters=tuple(args.filters),
-        num_res_units=2,
-        transform_degree=0,
-        lr=args.lr,
-        batch_size=args.batch_size,
-        loss_fx=tuple(args.loss_fx),
-        exclude_missing=args.exclude_missing,
-        epochs=args.max_epochs or 200,
-        seed=args.seed,
-        spatial_dims=3,
-        input_shape=patch_size if mode == "patch" else resize_shape,
-        in_channels=1,
-        plateau_patience=10_000,
-        compute_dtype="bfloat16" if args.bf16 else "float32",
-        steps_per_epoch=(
-            (getattr(args, "steps_per_epoch", None) or 100)
-            if mode == "patch"
-            else None
-        ),
-    )
+    if getattr(args, "preset", None):
+        # Published configuration (reference volumetric/base_trainer.py
+        # defaults via models/presets.py); overrides the individual flags
+        # exactly like the 2D CLI's preset path.
+        import dataclasses
+
+        from ctseg_tpu.models.presets import PRESETS
+
+        preset = PRESETS[args.preset]
+        if preset.spatial_dims != 3:
+            raise SystemExit(
+                f"--preset {args.preset} is a 2D configuration; use the "
+                "train/train_mixup subcommands for it"
+            )
+        config = dataclasses.replace(
+            preset,
+            epochs=args.max_epochs or preset.epochs,
+            seed=args.seed,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+        )
+        mode = config.volumetric_mode or "resize"
+        patch_size = tuple(config.input_shape)
+    else:
+        config = TrainConfig(
+            filters=tuple(args.filters),
+            num_res_units=2,
+            transform_degree=0,
+            lr=args.lr,
+            batch_size=args.batch_size,
+            loss_fx=tuple(args.loss_fx),
+            exclude_missing=args.exclude_missing,
+            epochs=args.max_epochs or 200,
+            seed=args.seed,
+            spatial_dims=3,
+            input_shape=patch_size if mode == "patch" else resize_shape,
+            in_channels=1,
+            plateau_patience=10_000,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+            steps_per_epoch=(
+                (getattr(args, "steps_per_epoch", None) or 100)
+                if mode == "patch"
+                else None
+            ),
+        )
+    # Data loads after flag validation so a bad --preset fails fast.
+    data_dir = Path(args.data_dir or (Path(DEFAULT_DATA_STORAGE) / "miccai_3d"))
+    train = PackedDataset3D.load(data_dir / "train_packed.npz")
+    valid = PackedDataset3D.load(data_dir / "valid_packed.npz")
     n_space = getattr(args, "spatial_devices", 1)
     if n_space > 1:
         from ctseg_tpu.parallel import make_spatial_mesh
