@@ -79,12 +79,23 @@ def evaluate_2d(
     pipe = DevicePipeline2D(dataset, batch_size)
 
     @jax.jit
-    def step(params, images_raw, labels_raw, row_valid):
+    def step(params, images_raw, labels_raw, indicators, row_valid):
         key = jax.random.key(0)
         images, labels = batched_transform(
             trainer.test_transform, key, images_raw, labels_raw
         )
         logits = trainer.model.apply(params, images)
+        if trainer.config.exclude_missing:
+            # Mirror the trainer's own eval step (and the reference's test
+            # protocol, base_trainer.py:120-136): logits of structures
+            # missing from a sample are zeroed before argmax so voxels
+            # can't be assigned to an unannotated class.
+            ind = indicators.reshape(
+                indicators.shape[0], *(1,) * (logits.ndim - 2), -1
+            )
+            logits = jnp.concatenate(
+                [logits[..., :1], logits[..., 1:] * ind], axis=-1
+            )
         preds = squash_predictions(logits)
         dice, valid = dice_per_sample_class(preds, labels)
         valid = jnp.logical_and(valid, row_valid[:, None])
@@ -107,13 +118,13 @@ def evaluate_2d(
     # row_valid=False), so the count is statically the dataset length — a
     # per-batch row_valid.sum() fetch would force a host sync every batch.
     n_slices = len(dataset)
-    for images_raw, labels_raw, _, row_valid in pipe.padded_epoch(None):
+    for images_raw, labels_raw, indicators, row_valid in pipe.padded_epoch(None):
         if batch_sharding is not None:
-            images_raw, labels_raw, row_valid = jax.device_put(
-                (images_raw, labels_raw, row_valid), batch_sharding
+            images_raw, labels_raw, indicators, row_valid = jax.device_put(
+                (images_raw, labels_raw, indicators, row_valid), batch_sharding
             )
         dice, valid, hd, hd_valid = step(
-            params, images_raw, labels_raw, row_valid
+            params, images_raw, labels_raw, indicators, row_valid
         )
         # Device-resident accumulation: per-batch np.asarray would force a
         # host sync each batch and serialize dispatch against compute.
@@ -286,12 +297,18 @@ def evaluate_3d_sliding_window(
             dynamic_starts=True,
         )
 
-        def one(params, img, lab, spc, starts, dims, row_ok):
+        def one(params, img, lab, ind, spc, starts, dims, row_ok):
             # (D, H, W) -> (H, W, D, 1)
             vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
             if window:
                 vol = apply_window(vol, 350, 20, shift=True)
             logits = runner(params, vol, starts)
+            if trainer.config.exclude_missing:
+                # Mirror the trainer's eval step: structures missing from
+                # this patient's annotations can't win the argmax.
+                logits = jnp.concatenate(
+                    [logits[..., :1], logits[..., 1:] * ind], axis=-1
+                )
             preds = squash_predictions(logits)
             # Mask out the bucket padding: pred voxels beyond the true
             # (h, w, d) extent become background, and host-padded labels
@@ -323,10 +340,10 @@ def evaluate_3d_sliding_window(
             return dice[0], valid[0]
 
         @jax.jit
-        def run(params, imgs, labs, spcs, starts, dims, row_ok):
+        def run(params, imgs, labs, inds, spcs, starts, dims, row_ok):
             return jax.lax.map(
                 lambda t: one(params, *t),
-                (imgs, labs, spcs, starts, dims, row_ok),
+                (imgs, labs, inds, spcs, starts, dims, row_ok),
             )
 
         return run
@@ -367,6 +384,9 @@ def evaluate_3d_sliding_window(
         labs = np.stack(
             [_pad_volume_dhw(dataset.labels[i], bucket, 0) for i in idxs]
         )
+        inds = np.stack(
+            [np.asarray(dataset.indicators[i], np.float32) for i in idxs]
+        )
         spcs = np.stack(
             [spacings[i] for i in idxs] if use_spacing
             else [np.ones(3, np.float32)] * len(idxs)
@@ -380,7 +400,8 @@ def evaluate_3d_sliding_window(
         )
         row_ok = np.arange(len(idxs)) < n_real
         return bucket, tuple(
-            jax.device_put(x) for x in (imgs, labs, spcs, starts, dims, row_ok)
+            jax.device_put(x)
+            for x in (imgs, labs, inds, spcs, starts, dims, row_ok)
         )
 
     all_dice, all_valid, hd_rows, hd_valid_rows = [], [], [], []

@@ -48,19 +48,31 @@ def predict_labels_2d(
     Slices run through the checkpoint's own test transform (windowing +
     resize + normalize); predictions are nearest-upsampled back to the
     native in-plane resolution.
+
+    The jitted step is cached on the Trainer keyed by (in-plane shape,
+    batch size): a split shares one compiled program across patients —
+    a fresh per-call jit would pay a 30-90s remote compile PER SCAN on
+    this container's tunneled v5e (same motive as bucketed_swin_runner).
     """
     d, h, w = volume.shape
 
-    @jax.jit
-    def step(params, slices):
-        imgs, _ = batched_transform(
-            trainer.test_transform,
-            jax.random.key(0),
-            slices,
-            jnp.zeros(slices.shape, jnp.int32),
-        )
-        preds = squash_predictions(trainer.model.apply(params, imgs))
-        return jax.image.resize(preds, (preds.shape[0], h, w), "nearest")
+    cache = trainer.__dict__.setdefault("_predict2d_cache", {})
+    key = (h, w, batch_size)
+    if key not in cache:
+
+        @jax.jit
+        def step(params, slices):
+            imgs, _ = batched_transform(
+                trainer.test_transform,
+                jax.random.key(0),
+                slices,
+                jnp.zeros(slices.shape, jnp.int32),
+            )
+            preds = squash_predictions(trainer.model.apply(params, imgs))
+            return jax.image.resize(preds, (preds.shape[0], h, w), "nearest")
+
+        cache[key] = step
+    step = cache[key]
 
     out = np.zeros((d, h, w), np.uint8)
     for lo in range(0, d, batch_size):

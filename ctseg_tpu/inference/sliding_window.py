@@ -191,6 +191,11 @@ def blend_accumulate(
             # embarrassingly parallel; XLA gathers logits for the scatter.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            assert "data" in mesh.axis_names, (
+                f"blend_accumulate shards windows over a 'data' axis; this "
+                f"mesh has axes {mesh.axis_names} — build it with make_mesh "
+                "or rename the batch axis to 'data'"
+            )
             patches = jax.lax.with_sharding_constraint(
                 patches, NamedSharding(mesh, P("data"))
             )
@@ -307,9 +312,15 @@ def bucketed_swin_runner(
     """One cached jitted 3D label-map program per window-grid bucket.
 
     (params, padded_volume (D,H,W) raw HU, starts) -> (H, W, D) labels:
-    soft-tissue windowing + sliding-window Gaussian blending +
+    the checkpoint's input transform + sliding-window Gaussian blending +
     squash_predictions, with the volume's exact clamped window grid as a
-    traced argument. Cached on the Trainer instance (`trainer._swin_cache`)
+    traced argument. Patch-mode checkpoints trained on soft-tissue-windowed
+    patches (volumetric/trainer3d.py::_windowed_patch_transform) get the
+    same windowing here; resize-mode parity checkpoints trained on raw HU
+    (the reference applies no windowing, volumetric/predefined.py:4-7) get
+    raw HU — mirroring evaluate_3d_sliding_window's gating, so predict/
+    serve/evaluate all feed a checkpoint the distribution it trained on.
+    Cached on the Trainer instance (`trainer._swin_cache`)
     so every consumer — the predict CLI looping over a split, the warm HTTP
     server, and `evaluate --throughput` — reuses one compiled program per
     bucket (real PDDCA depths vary per patient; a per-shape jit cost one
@@ -317,10 +328,11 @@ def bucketed_swin_runner(
     cold mixed-depth eval in perf/probe_cold_eval.py)."""
     from ctseg_tpu.constants import NUM_CLASSES
     from ctseg_tpu.ops import squash_predictions
-    from ctseg_tpu.transforms.windowing import apply_window
+    from ctseg_tpu.transforms.windowing import soft_tissue_window
 
+    window = trainer.config.volumetric_mode == "patch"
     cache = trainer.__dict__.setdefault("_swin_cache", {})
-    key = (bucket_hwd, patch_size, overlap, batch_size)
+    key = (bucket_hwd, patch_size, overlap, batch_size, window)
     if key not in cache:
         runner = build_sliding_window_fn(
             trainer.model.apply, bucket_hwd, patch_size, overlap=overlap,
@@ -330,8 +342,11 @@ def bucketed_swin_runner(
 
         @jax.jit
         def infer(params, img, starts):
-            vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)[..., None]
-            vol = apply_window(vol, 350, 20, shift=True)
+            vol = jnp.moveaxis(img.astype(jnp.float32), 0, -1)
+            if window:
+                vol = soft_tissue_window(vol)
+            else:
+                vol = vol[..., None]
             return squash_predictions(runner(params, vol, starts))
 
         cache[key] = infer

@@ -40,32 +40,37 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def sliding_window_inference_spatial(
-    volume: jnp.ndarray,
-    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+def build_spatial_sliding_window_fn(
+    apply_fn: Callable,
+    volume_shape: Sequence[int],
     patch_size: Sequence[int],
     mesh: Mesh,
     axis: str = "data",
     overlap: float = 0.5,
     batch_size: int = 4,
     out_channels: Optional[int] = None,
-) -> jnp.ndarray:
-    """Depth-sharded blended inference. volume: (D, *rest, C)."""
-    patch_size = tuple(int(p) for p in patch_size)
-    ndim = len(patch_size)
-    assert volume.ndim == ndim + 1, "volume must be (*spatial, C)"
-    n = mesh.shape[axis]
-    if n == 1:
-        from ctseg_tpu.inference.sliding_window import sliding_window_inference
+    dtype=jnp.float32,
+) -> Callable:
+    """Build a reusable jitted depth-sharded runner: (params, volume) ->
+    blended logits (depth edge-padded internally; the caller crops to the
+    true depth).
 
-        return sliding_window_inference(
-            volume, apply_fn, patch_size, overlap, batch_size,
-            out_channels=out_channels,
-        )
+    `apply_fn(params, patches)` takes the model params explicitly so they
+    stay jit ARGUMENTS (CLAUDE.md rule 2 — closing over them would bake
+    ~26M weights into the HLO as constants and defeat the jit cache), and
+    the compiled shard_map program is reusable across volumes of
+    `volume_shape`.
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    volume_shape = tuple(int(s) for s in volume_shape)
+    ndim = len(patch_size)
+    assert len(volume_shape) == ndim + 1, "volume must be (*spatial, C)"
+    n = mesh.shape[axis]
+    assert n > 1, "use build_sliding_window_fn for single-device meshes"
 
     pd = patch_size[0]
     step = max(1, int(pd * (1.0 - overlap)))
-    d = volume.shape[0]
+    d = volume_shape[0]
 
     # Slab size: multiple of the step, at least one full patch.
     local_d = _ceil_to(max(math.ceil(d / n), pd), step)
@@ -74,22 +79,17 @@ def sliding_window_inference_spatial(
     assert halo < local_d, "patch depth too large for this mesh size"
 
     if out_channels is None:
-        probe = apply_fn(
-            volume[tuple(slice(0, p) for p in patch_size)][None] * 0
+        raise ValueError(
+            "out_channels is required by the builder (probe it once with "
+            "jax.eval_shape on the caller side, where params are available)"
         )
-        out_channels = probe.shape[-1]
-
-    # Edge-pad depth so windows near the true end see replicated (not zero)
-    # values; cropped away at the end.
-    pad_cfg = [(0, d_pad - d)] + [(0, 0)] * (volume.ndim - 1)
-    volume_p = jnp.pad(volume, pad_cfg, mode="edge")
 
     # Local window grid, identical on every device: depth starts are the
     # uniform multiples of `step` inside the slab; other axes use the
     # standard (flush-end) grid.
     depth_starts = np.arange(0, local_d, step, dtype=np.int32)
     rest_grid = compute_window_grid(
-        volume.shape[1:ndim], patch_size[1:], overlap
+        volume_shape[1:ndim], patch_size[1:], overlap
     )  # (M, ndim-1)
     starts = np.array(
         [(dstart, *rest) for dstart in depth_starts for rest in rest_grid],
@@ -99,7 +99,7 @@ def sliding_window_inference_spatial(
 
     axis_sharding = NamedSharding(mesh, P(axis))
 
-    def shard_body(vol_local):
+    def shard_body(params, vol_local):
         # vol_local: (local_d, *rest, C)
         idx = jax.lax.axis_index(axis)
         if halo > 0:
@@ -114,8 +114,8 @@ def sliding_window_inference_spatial(
             ext = vol_local
 
         acc, weight = blend_accumulate(
-            ext, apply_fn, starts, patch_size, importance,
-            out_channels, batch_size,
+            ext, lambda patches: apply_fn(params, patches),
+            starts, patch_size, importance, out_channels, batch_size,
         )
 
         if halo > 0:
@@ -136,10 +136,69 @@ def sliding_window_inference_spatial(
         jax.shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=P(axis),
+            in_specs=(P(), P(axis)),  # params replicated, volume depth-sharded
             out_specs=P(axis),
         )
     )
-    volume_sharded = jax.device_put(volume_p, axis_sharding)
-    out = sharded(volume_sharded)
-    return out[:d]
+
+    def run(params, volume):
+        assert volume.shape == volume_shape, (volume.shape, volume_shape)
+        # Edge-pad depth so windows near the true end see replicated (not
+        # zero) values; the caller crops back to the true depth.
+        pad_cfg = [(0, d_pad - d)] + [(0, 0)] * (volume.ndim - 1)
+        volume_p = jnp.pad(volume, pad_cfg, mode="edge")
+        volume_sharded = jax.device_put(volume_p, axis_sharding)
+        return sharded(params, volume_sharded)[:d]
+
+    return run
+
+
+def sliding_window_inference_spatial(
+    volume: jnp.ndarray,
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    patch_size: Sequence[int],
+    mesh: Mesh,
+    axis: str = "data",
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    out_channels: Optional[int] = None,
+    params=None,
+) -> jnp.ndarray:
+    """Depth-sharded blended inference. volume: (D, *rest, C).
+
+    One-shot convenience API (recompiles per call, like
+    sliding_window_inference); for repeated volumes of one shape use
+    `build_spatial_sliding_window_fn`. Pass `params` with
+    `apply_fn(params, patches)` so the weights stay jit arguments; the
+    legacy `apply_fn(patches)`-closing-over-weights form still works but
+    bakes them into the program as constants (CLAUDE.md rule 2).
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    ndim = len(patch_size)
+    assert volume.ndim == ndim + 1, "volume must be (*spatial, C)"
+    if params is None:
+        apply2 = lambda _, patches: apply_fn(patches)  # noqa: E731
+    else:
+        apply2 = apply_fn
+    n = mesh.shape[axis]
+    if n == 1:
+        from ctseg_tpu.inference.sliding_window import sliding_window_inference
+
+        return sliding_window_inference(
+            volume, lambda patches: apply2(params, patches),
+            patch_size, overlap, batch_size, out_channels=out_channels,
+        )
+    if out_channels is None:
+        # Abstract probe: no device work, no extra 30-90s remote compile —
+        # the channel count is a static property of the traced shapes.
+        spec = jax.ShapeDtypeStruct(
+            (1,) + patch_size + (volume.shape[-1],), volume.dtype
+        )
+        out_channels = jax.eval_shape(
+            lambda p: apply2(params, p), spec
+        ).shape[-1]
+    run = build_spatial_sliding_window_fn(
+        apply2, volume.shape, patch_size, mesh, axis=axis, overlap=overlap,
+        batch_size=batch_size, out_channels=out_channels, dtype=volume.dtype,
+    )
+    return run(params, volume)

@@ -448,3 +448,73 @@ def test_empty_datasets_raise_clear_errors(rng):
         sliding_window_throughput(
             tr3, s3.params, empty3d, patch_size=(32, 32, 16)
         )
+
+
+class _StubModel2D:
+    """Logits favor class 5 (logit 5.0) over class 3 (logit 3.0) everywhere."""
+
+    def apply(self, params, imgs):
+        n, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+        logits = np.zeros((n, h, w, 10), np.float32)
+        logits[..., 5] = 5.0
+        logits[..., 3] = 3.0
+        import jax.numpy as jnp
+
+        return jnp.asarray(logits)
+
+
+def test_evaluate_2d_exclude_missing_masks_logits(rng):
+    """With exclude_missing, a structure absent from a sample's annotations
+    cannot win the argmax (mirrors the trainer's eval step; previously
+    evaluate_2d ignored the indicators entirely)."""
+    from types import SimpleNamespace
+
+    n, hw = 4, 16
+    images = rng.normal(40, 200, size=(n, hw, hw)).astype(np.float32)
+    labels = np.full((n, hw, hw), 3, np.uint8)  # GT: class 3 everywhere
+    ind = np.ones((n, 9), np.float32)
+    ind[:, 4] = 0.0  # class 5 (index 4 of structures 1..9) missing
+    ds = PackedDataset2D(images=images, labels=labels, indicators=ind)
+
+    stub = SimpleNamespace(
+        config=SimpleNamespace(exclude_missing=True),
+        model=_StubModel2D(),
+        test_transform=lambda key, im, lab: (im[..., None], lab),
+    )
+    result = evaluate_2d(stub, None, ds, batch_size=4)
+    # Masked: class-5 logits zeroed -> argmax falls to class 3 (Mandible)
+    # -> Dice 1.0.
+    assert result["per_structure_dice"]["Mandible"] == pytest.approx(1.0)
+
+    stub.config.exclude_missing = False
+    result_unmasked = evaluate_2d(stub, None, ds, batch_size=4)
+    # Unmasked: everything predicted class 5 -> class-3 Dice 0.
+    assert result_unmasked["per_structure_dice"]["Mandible"] == pytest.approx(0.0)
+
+
+def test_evaluate_3d_exclude_missing_masks_logits(rng):
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    class _StubModel3D:
+        def apply(self, params, patches):
+            shp = patches.shape[:-1] + (10,)
+            logits = jnp.zeros(shp, jnp.float32)
+            logits = logits.at[..., 5].set(5.0).at[..., 3].set(3.0)
+            return logits
+
+    images = [rng.normal(40, 200, size=(16, 32, 32)).astype(np.float32)]
+    labels = [np.full((16, 32, 32), 3, np.uint8)]
+    ind = np.ones(9, np.float32)
+    ind[4] = 0.0
+    ds = PackedDataset3D(images, labels, [ind])
+
+    stub = SimpleNamespace(
+        config=SimpleNamespace(exclude_missing=True),
+        model=_StubModel3D(),
+    )
+    result = evaluate_3d_sliding_window(
+        stub, None, ds, patch_size=(32, 32, 16), batch_size=2, window=False
+    )
+    assert result["per_structure_dice"]["Mandible"] == pytest.approx(1.0)

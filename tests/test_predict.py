@@ -7,6 +7,7 @@ import pytest
 
 from ctseg_tpu.inference.predict import (
     _scan_paths,
+    predict_labels_2d,
     predict_scan,
     write_artifacts,
 )
@@ -118,3 +119,70 @@ def test_scan_paths_variants(tmp_path):
     ]
     with pytest.raises(FileNotFoundError):
         list(_scan_paths(tmp_path))
+
+
+def test_predict_3d_resize_checkpoint_gets_raw_hu(rng):
+    """A resize-mode parity checkpoint (trained on raw HU, reference
+    volumetric/predefined.py:4-7 applies no windowing) must be fed raw HU by
+    the predict/serve runner — previously bucketed_swin_runner always
+    windowed, handing the model out-of-distribution [0,1] inputs."""
+    import jax.numpy as jnp
+
+    from ctseg_tpu.constants import NUM_CLASSES
+    from ctseg_tpu.inference.sliding_window import (
+        bucketed_grid,
+        bucketed_swin_runner,
+        build_sliding_window_fn,
+        pad_volume_dhw,
+    )
+    from ctseg_tpu.ops import squash_predictions
+
+    vol = rng.normal(40, 200, size=(16, 32, 32)).astype(np.float32)
+    patch = (32, 32, 16)
+
+    def expected(tr, params, window):
+        from ctseg_tpu.transforms.windowing import soft_tissue_window
+
+        bucket, starts = bucketed_grid(vol.shape, patch, 0.5)
+        run = build_sliding_window_fn(
+            tr.model.apply, bucket, patch, overlap=0.5, batch_size=2,
+            out_channels=NUM_CLASSES, dynamic_starts=True,
+        )
+        padded = pad_volume_dhw(vol, bucket, -1024.0)
+        v = jnp.moveaxis(jnp.asarray(padded, jnp.float32), 0, -1)
+        v = soft_tissue_window(v) if window else v[..., None]
+        return np.asarray(
+            squash_predictions(run(params, v, jnp.asarray(starts)))
+        )
+
+    for mode, want_window in (("resize", False), ("patch", True)):
+        cfg = TrainConfig(
+            filters=(2, 4, 8), num_res_units=1, batch_size=1,
+            loss_fx=("CrossEntropy",), spatial_dims=3,
+            input_shape=(32, 32, 16), in_channels=1,
+        )
+        tr = make_trainer_3d(cfg, mode=mode, patch_size=(32, 32, 16))
+        params = tr.init_state().params
+        bucket, starts = bucketed_grid(vol.shape, patch, 0.5)
+        infer = bucketed_swin_runner(tr, bucket, patch, 0.5, 2)
+        got = np.asarray(
+            infer(params, jnp.asarray(pad_volume_dhw(vol, bucket, -1024.0)),
+                  jnp.asarray(starts))
+        )
+        np.testing.assert_array_equal(got, expected(tr, params, want_window))
+
+
+def test_predict_2d_caches_compiled_step(patient_dir):
+    """A split of same-shape scans reuses one jitted program (previously a
+    fresh jit per volume -> a 30-90s remote compile per scan)."""
+    cfg = TrainConfig(
+        filters=(4, 8, 16), batch_size=4, transform_degree=1, input_size=32,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    vol = Volume.from_nrrd(patient_dir / "img.nrrd").as_numpy()[0]
+    a = predict_labels_2d(tr, state.params, vol)
+    assert len(tr._predict2d_cache) == 1
+    b = predict_labels_2d(tr, state.params, vol)
+    assert len(tr._predict2d_cache) == 1
+    np.testing.assert_array_equal(a, b)

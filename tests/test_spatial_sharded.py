@@ -72,3 +72,29 @@ def test_real_model_matches_replicated_interior(rng):
     np.testing.assert_allclose(
         np.asarray(out)[:48], np.asarray(ref)[:48], rtol=2e-3, atol=2e-4
     )
+
+
+def test_params_as_arguments_matches_closure(rng):
+    """The (params, patches) form — weights as jit ARGUMENTS per CLAUDE.md
+    rule 2 — produces the same blended output as the legacy closure form,
+    and an out_channels=None probe uses eval_shape (no device forward)."""
+    from ctseg_tpu.models import SegmentationModel
+
+    mesh = make_mesh(8)
+    model = SegmentationModel(
+        out_channels=10, channels=(2, 4), strides=(2,), num_res_units=0,
+    )
+    vol = jnp.asarray(rng.random((32, 16, 16, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), vol[:8][None])
+
+    out_closure = sliding_window_inference_spatial(
+        vol, lambda p: model.apply(params, p), patch_size=(8, 16, 16),
+        mesh=mesh, batch_size=4, out_channels=10,
+    )
+    out_args = sliding_window_inference_spatial(
+        vol, model.apply, patch_size=(8, 16, 16),
+        mesh=mesh, batch_size=4, params=params,  # out_channels via eval_shape
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_args), np.asarray(out_closure), rtol=1e-5, atol=1e-6
+    )
