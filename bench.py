@@ -10,8 +10,10 @@ splits between CPU dataloader workers and the GPU.
 
 Line 2 — 3D volumetric patch training (BASELINE.json config #3; reference
 capstone/volumetric/base_trainer.py:58-72): same UNet family in 3D,
-native-resolution (128,128,16) patches, CE+Dice, bf16, batch 2 — the
-EVIDENCE 3D recipe. The timed loop includes the on-device random patch
+native-resolution (128,128,16) patches, CE+Dice, bf16, batch 128 — the
+batch chosen by the measured batch/depth sweep (perf/probe_3d_v5e.json;
+the batch-2 recipe numbers live in EVIDENCE, not here). The timed loop
+includes the on-device random patch
 sampling (PatchPipeline3D) plus the full train step, mirroring what the
 reference's dataloader + Lightning loop do per step.
 

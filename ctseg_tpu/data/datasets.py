@@ -192,8 +192,10 @@ def pack_volumes(npz_dir: Union[str, Path]) -> PackedDataset3D:
             if "spacing" in z.files:
                 spacings.append(z["spacing"].astype(np.float32))
             else:
+                # No placeholder: the spacings list is discarded whenever
+                # ANY file lacks spacing (back-filling unit spacing would
+                # silently mislabel HD95 mm numbers).
                 missing_spacing.append(p.name)
-                spacings.append(np.ones(3, np.float32))
         images.append(img[0].astype(np.float32))
         labels.append(_squash_masks_np(masks))
         indicators.append(ind.astype(np.float32))

@@ -74,7 +74,7 @@ def prepare_miccai(root_dir: str, download: bool = True) -> None:
 
 def main():
     parser = ArgumentParser(description="Download & prepare datasets")
-    sub = parser.add_subparsers(dest="command")
+    sub = parser.add_subparsers(dest="command", required=True)
     miccai = sub.add_parser("miccai", help="MICCAI 2015 Head and Neck dataset")
     miccai.add_argument("--root_dir", type=str, default=None)
     miccai.add_argument("--no_download", action="store_true", default=False)

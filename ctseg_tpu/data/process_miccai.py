@@ -133,7 +133,7 @@ def pack_3d(npz_root, out_root=None):
 
 def main():
     parser = ArgumentParser(description="Process MICCAI")
-    sub = parser.add_subparsers(dest="command")
+    sub = parser.add_subparsers(dest="command", required=True)
     for name in ("convert_2d", "convert_3d", "pack_2d", "pack_3d"):
         p = sub.add_parser(name)
         p.add_argument("--root_dir", type=str, default=None)

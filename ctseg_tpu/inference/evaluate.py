@@ -111,13 +111,9 @@ def evaluate_2d(
         zeros = jnp.zeros((preds.shape[0], NUM_CLASSES - 1))
         return dice, valid, zeros, zeros > 0
 
-    all_dice, all_valid = [], []
+    all_dice, all_valid, all_rows = [], [], []
     hd_rows, hd_valid_rows = [], []
     t0 = time.time()
-    # padded_epoch covers every sample exactly once (padding rows carry
-    # row_valid=False), so the count is statically the dataset length — a
-    # per-batch row_valid.sum() fetch would force a host sync every batch.
-    n_slices = len(dataset)
     for images_raw, labels_raw, indicators, row_valid in pipe.padded_epoch(None):
         if batch_sharding is not None:
             images_raw, labels_raw, indicators, row_valid = jax.device_put(
@@ -128,8 +124,12 @@ def evaluate_2d(
         )
         # Device-resident accumulation: per-batch np.asarray would force a
         # host sync each batch and serialize dispatch against compute.
+        # row_valid accumulates too so num_slices reports the count of REAL
+        # rows actually evaluated (padded_epoch's contract), not a restated
+        # len(dataset) — parity_report's coverage assert checks it.
         all_dice.append(dice)
         all_valid.append(valid)
+        all_rows.append(row_valid)
         if with_hd95:
             hd_rows.append(hd)
             hd_valid_rows.append(hd_valid)
@@ -137,6 +137,7 @@ def evaluate_2d(
     valid = jnp.concatenate(all_valid)
     float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)
     elapsed = time.time() - t0
+    n_slices = int(jnp.sum(jnp.concatenate(all_rows).astype(jnp.int32)))
     per_class, not_nans = masked_mean_batch(dice, valid)
     per_class = np.asarray(per_class)
 

@@ -26,10 +26,22 @@ def initialize(
 
     On TPU pods the arguments are auto-detected from the environment;
     elsewhere pass coordinator_address="host:port", num_processes, and
-    process_id explicitly.
+    process_id explicitly. A no-arg call on a plain single host (no cluster
+    environment detected) is a documented no-op — jax's auto-detection
+    would raise there, breaking scripts that call this unconditionally.
     """
     if num_processes is not None and num_processes <= 1:
         return
+    if coordinator_address is None and num_processes is None:
+        import os
+
+        cluster_envs = (
+            "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+            "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID",
+        )
+        if not any(e in os.environ for e in cluster_envs):
+            return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -240,6 +240,10 @@ class Patient:
             for n in names
             if self.structures[n] is not None
         ]
+        if not stacks:
+            # PDDCA patients routinely miss structures (that is what
+            # mask_indicator records); an empty overlay is all background.
+            return np.zeros(self.image.data.shape, np.uint8)
         return functools.reduce(np.logical_or, stacks).astype(np.uint8)
 
 

@@ -146,7 +146,7 @@ def plot_region_distribution(image, labels):
     values = structure_hu_values(image, labels)
     fig, ax = plt.subplots(figsize=(10, 5))
     present = {k: v for k, v in values.items() if v.size}
-    ax.boxplot(present.values(), labels=present.keys())
+    ax.boxplot(present.values(), tick_labels=present.keys())
     ax.set_ylabel("HU")
     plt.xticks(rotation=45)
     return fig

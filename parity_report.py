@@ -85,10 +85,16 @@ def run_model(name, data_dir, args):
     mesh = None
     if len(jax.devices()) > 1:
         from ctseg_tpu.parallel import make_mesh
+        from ctseg_tpu.training.cli import _fit_batch
 
         mesh = make_mesh(len(jax.devices()))
-        bs = max((config.batch_size // mesh.size) * mesh.size, mesh.size)
-        config = dataclasses.replace(config, batch_size=min(bs, len(full)))
+        # min-then-round (shared _fit_batch): rounding before the dataset
+        # bound can yield a batch not divisible by the data axis, which the
+        # sharded train step rejects.
+        config = dataclasses.replace(
+            config,
+            batch_size=_fit_batch(config.batch_size, len(full), mesh.size),
+        )
 
     trainer = Trainer(config, mesh=mesh)
     state = trainer.init_state()
