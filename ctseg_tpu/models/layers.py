@@ -547,6 +547,13 @@ class ConvTransposeUnit(nn.Module):
     # are HBM-bound, so eliminating the zero MACs buys nothing and the
     # extra interleave pass costs a full output round-trip.
     polyphase: bool = False
+    # Packed-polyphase FORWARD on the lane-starved smallc path (backward
+    # stays on ops/shallow_grad.py's reformulated rules). Orthogonal to
+    # `polyphase` above, which differentiates THROUGH the decomposition.
+    # Site-measured win at the 3D up0 transposed conv (fwd 9.4 vs 12.4 ms,
+    # perf/transp3d_v5e.json) but 0.996x on the compiled full 3D step
+    # (perf/ab_packed_up_step_v5e.json) — OFF by default (CLAUDE.md rule 3).
+    packed_fwd: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -599,6 +606,7 @@ class ConvTransposeUnit(nn.Module):
                 bias.astype(self.dtype),
                 self.stride,
                 self.kernel_size,
+                "packed" if self.packed_fwd else "native",
             )
         else:
             x = nn.ConvTranspose(

@@ -52,6 +52,12 @@ class UNet(nn.Module):
     # polyphase_conv_transpose) instead of XLA's dilated-input lowering.
     # OFF by default — measured slower on v5e (see ConvTransposeUnit).
     polyphase_up: bool = False
+    # Packed-polyphase FORWARD for the lane-starved top decoder transposed
+    # conv only (backward stays on the shallow_grad reformulations;
+    # checkpoint-compatible). Site-measured fwd win at the 3D up0 site
+    # (perf/transp3d_v5e.json); OFF by default — 0.996x on the compiled
+    # full 3D step (perf/ab_packed_up_step_v5e.json).
+    packed_up_fwd: bool = False
     # Strided shallow-Cin 3D convs (the stem family) as one lane-full 2D
     # conv over the (D, Cin)-folded input (layers.py::ConvUnit.packed_depth;
     # checkpoint-compatible). OFF by default — see the A/B verdict there.
@@ -130,6 +136,7 @@ class UNet(nn.Module):
             stride=stride,
             conv_only=is_top and self.num_res_units == 0,
             polyphase=self.polyphase_up,
+            packed_fwd=self.packed_up_fwd,
             name=f"{name}_transp",
             **common,
         )(x)
@@ -203,6 +210,7 @@ class SegmentationModel(nn.Module):
     fused_norm_act: bool = False
     fused_conv_block: bool = False
     polyphase_up: bool = False
+    packed_up_fwd: bool = False
     packed_depth: bool = False
     capture_features: bool = False
     # See UNet.spatial_mesh: GSPMD depth-axis partitioning for 3D volumes.
@@ -234,6 +242,7 @@ class SegmentationModel(nn.Module):
             fused_norm_act=self.fused_norm_act,
             fused_conv_block=self.fused_conv_block,
             polyphase_up=self.polyphase_up,
+            packed_up_fwd=self.packed_up_fwd,
             packed_depth=self.packed_depth,
             capture_features=self.capture_features,
             spatial_mesh=self.spatial_mesh,

@@ -277,17 +277,37 @@ def _convt_fwd_raw(x, w, b, stride, kernel_size):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv_transpose_smallc(x, w, b, stride, kernel_size):
-    """nn.ConvTranspose-equivalent (out = in*s); dW via dilated-rhs conv."""
+def _convt_fwd_dispatch(x, w, b, stride, kernel_size, fwd_mode):
+    """Forward formulation selector for the smallc transposed conv.
+
+    "native" is XLA's dilated-input lowering. "packed" computes the same
+    taps/products as ONE stride-1 conv producing all s^ndim phases as
+    s^ndim * Cout lane-fuller output features + depth-to-space
+    (models/layers.py::_packed_conv_transpose) — measured 9.4 vs 12.4 ms
+    fwd at the 3D up0 site (128->10 at (64,64,8)->(128,128,16), batch 128,
+    perf/transp3d_v5e.json). Only the forward changes; dx/dW/db below are
+    formulation-independent gradients of the same linear map.
+    """
+    if fwd_mode == "packed":
+        from ctseg_tpu.models.layers import polyphase_conv_transpose
+
+        return polyphase_conv_transpose(
+            x, w, b, stride, x.dtype, mode="packed"
+        )
     return _convt_fwd_raw(x, w, b, stride, kernel_size)
 
 
-def _convt_smallc_fwd(x, w, b, stride, kernel_size):
-    return _convt_fwd_raw(x, w, b, stride, kernel_size), (x, w)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv_transpose_smallc(x, w, b, stride, kernel_size, fwd_mode="native"):
+    """nn.ConvTranspose-equivalent (out = in*s); dW via dilated-rhs conv."""
+    return _convt_fwd_dispatch(x, w, b, stride, kernel_size, fwd_mode)
 
 
-def _convt_smallc_bwd(stride, kernel_size, res, dy):
+def _convt_smallc_fwd(x, w, b, stride, kernel_size, fwd_mode):
+    return _convt_fwd_dispatch(x, w, b, stride, kernel_size, fwd_mode), (x, w)
+
+
+def _convt_smallc_bwd(stride, kernel_size, fwd_mode, res, dy):
     x, w = res
     ndim = x.ndim - 2
     p = (kernel_size - 1) // 2

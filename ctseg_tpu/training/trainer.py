@@ -87,6 +87,13 @@ class TrainConfig:
     # isolated but 0.986x on the compiled full 3D step (v5e,
     # perf/ab_stem_packed_step_v5e.json).
     packed_depth: bool = False
+    # Packed-polyphase FORWARD on the top decoder transposed conv
+    # (checkpoint-compatible; backward stays on the shallow_grad rules).
+    # Site-measured fwd win at the 3D up0 site (9.4 vs 12.4 ms,
+    # perf/transp3d_v5e.json) but 0.996x on the compiled full 3D step
+    # (perf/ab_packed_up_step_v5e.json) — XLA's schedule already overlaps
+    # the site. OFF by default per CLAUDE.md rule 3.
+    packed_up_fwd: bool = False
     spatial_dims: int = 2
     input_size: int = 256  # post-transform spatial size (reference: 256)
     # Optional overrides for non-square/3D inputs; None derives them from
@@ -191,6 +198,7 @@ class Trainer:
             # itself is also TPU-gated, models/layers.py::PReLU).
             fused_norm_act=config.fused_norm and mesh is None,
             polyphase_up=config.polyphase_up,
+            packed_up_fwd=config.packed_up_fwd,
             packed_depth=config.packed_depth,
             spatial_mesh=mesh if self._spatial else None,
         )

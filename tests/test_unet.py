@@ -106,3 +106,39 @@ def test_packed_depth_flag_is_numerically_transparent():
     out_p = packed.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_n),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_packed_up_fwd_flag_is_numerically_transparent():
+    """UNet(packed_up_fwd=True) must match the native build in value AND
+    gradient from the same params: the flag only swaps the top decoder
+    transposed conv's FORWARD for the packed-polyphase formulation
+    (ops/shallow_grad.py::conv_transpose_smallc fwd_mode="packed"); the
+    backward stays on the reformulated smallc rules either way. Parameter
+    tree identical -> checkpoint-compatible."""
+    kw = dict(out_channels=10, channels=(4, 8, 16, 32, 64), num_res_units=2,
+              dtype=jnp.float64, param_dtype=jnp.float64)
+    native = UNet(packed_up_fwd=False, **kw)
+    packed = UNet(packed_up_fwd=True, **kw)
+
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 16, 1),
+                          dtype=jnp.float64)
+    params = native.init(jax.random.key(0), x)
+    assert jax.tree.structure(packed.init(jax.random.key(0), x)) == (
+        jax.tree.structure(params)
+    )
+
+    def scalar(model, p):
+        return jnp.sum(jnp.sin(model.apply(p, x)))
+
+    v_n, g_n = jax.value_and_grad(lambda p: scalar(native, p))(params)
+    v_p, g_p = jax.value_and_grad(lambda p: scalar(packed, p))(params)
+    # f64 so the packed forward's different summation grouping stays at
+    # reassociation level instead of cascading through the IN statistics
+    # (in f32 the deep-net amplification reaches ~1e-2 relative on small
+    # gradient elements). The backward rules are shared (shallow_grad), so
+    # any gradient difference comes only from the reassociated forward
+    # values feeding the cotangent.
+    np.testing.assert_allclose(float(v_p), float(v_n), rtol=1e-12)
+    for ln, lp in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ln),
+                                   rtol=1e-8, atol=1e-10)
