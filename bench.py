@@ -239,6 +239,12 @@ def bench_2d():
         "value": round(patches_per_sec, 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(patches_per_sec / A100_MONAI_ESTIMATE, 3),
+        "baseline_is_estimate": True,
+        "baseline_source": (
+            "A100_MONAI_ESTIMATE=420 patches/s (bench.py docstring); the "
+            "reference publishes no throughput. Measure for real with "
+            "perf/bench_torch_monai.py on a CUDA host."
+        ),
         "ms_per_step": round(step_s * 1000, 2),
         "model_tflops_per_step": round(step_flops / 1e12, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
@@ -350,6 +356,12 @@ def bench_3d():
         "value": round(patches_per_sec, 3),
         "unit": "patches/sec/chip",
         "vs_baseline": round(patches_per_sec / a100_3d_estimate, 3),
+        "baseline_is_estimate": True,
+        "baseline_source": (
+            "2D A100 estimate (420 patches/s) scaled by per-patch FLOPs "
+            "ratio; measure for real with perf/bench_torch_monai.py "
+            "--dims 3 on a CUDA host."
+        ),
         "ms_per_step": round(step_s * 1000, 2),
         "model_tflops_per_step": round(step_flops / 1e12, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,

@@ -52,11 +52,13 @@ class UNet(nn.Module):
     # polyphase_conv_transpose) instead of XLA's dilated-input lowering.
     # OFF by default — measured slower on v5e (see ConvTransposeUnit).
     polyphase_up: bool = False
-    # Packed-polyphase FORWARD for the lane-starved top decoder transposed
-    # conv only (backward stays on the shallow_grad reformulations;
-    # checkpoint-compatible). Site-measured fwd win at the 3D up0 site
-    # (perf/transp3d_v5e.json); OFF by default — 0.996x on the compiled
-    # full 3D step (perf/ab_packed_up_step_v5e.json).
+    # Packed-polyphase FORWARD for every smallc-eligible decoder transposed
+    # conv — min(Cin, Cout) <= 16, which is only up0 in the production
+    # channel config but several levels in small-channel configs (backward
+    # stays on the shallow_grad reformulations; checkpoint-compatible).
+    # Site-measured fwd win at the 3D up0 site (perf/transp3d_v5e.json);
+    # OFF by default — 0.996x on the compiled full 3D step
+    # (perf/ab_packed_up_step_v5e.json).
     packed_up_fwd: bool = False
     # Strided shallow-Cin 3D convs (the stem family) as one lane-full 2D
     # conv over the (D, Cin)-folded input (layers.py::ConvUnit.packed_depth;

@@ -294,6 +294,10 @@ def _convt_fwd_dispatch(x, w, b, stride, kernel_size, fwd_mode):
         return polyphase_conv_transpose(
             x, w, b, stride, x.dtype, mode="packed"
         )
+    if fwd_mode != "native":
+        raise ValueError(
+            f"fwd_mode must be 'native' or 'packed', got {fwd_mode!r}"
+        )
     return _convt_fwd_raw(x, w, b, stride, kernel_size)
 
 
