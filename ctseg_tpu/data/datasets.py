@@ -31,7 +31,15 @@ def _squash_masks_np(masks: np.ndarray) -> np.ndarray:
 
 
 class PackedDataset2D:
-    """A split of 2D slices packed into dense host arrays."""
+    """A split of 2D slices packed into dense host arrays.
+
+    `spacings` is an optional (N, 2) float array of per-slice in-plane
+    (row, col) voxel spacing in millimetres, carried from the NRRD header
+    (z-first patient spacing sliced to (y, x); reference
+    capstone/utils/miccai.py:77-82 — whose per-slice npz contract drops
+    it). With spacing, 2D HD95 reports millimetres; None (legacy packed
+    files) falls back to voxel units, same contract as PackedDataset3D.
+    """
 
     def __init__(
         self,
@@ -39,14 +47,21 @@ class PackedDataset2D:
         labels: np.ndarray,
         indicators: np.ndarray,
         names: Optional[list] = None,
+        spacings: Optional[np.ndarray] = None,
     ):
         assert images.ndim == 3 and labels.ndim == 3
         assert images.shape == labels.shape
         assert indicators.shape == (images.shape[0], NUM_STRUCTURES)
+        assert spacings is None or (
+            np.asarray(spacings).shape == (images.shape[0], 2)
+        )
         self.images = images
         self.labels = labels
         self.indicators = indicators
         self.names = names or [str(i) for i in range(images.shape[0])]
+        self.spacings = None if spacings is None else np.asarray(
+            spacings, np.float32
+        )
 
     def __len__(self) -> int:
         return self.images.shape[0]
@@ -58,12 +73,16 @@ class PackedDataset2D:
     def save(self, path: Union[str, Path]) -> None:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        extra = {}
+        if self.spacings is not None:
+            extra["spacings"] = self.spacings
         np.savez_compressed(
             path,
             images=self.images,
             labels=self.labels,
             indicators=self.indicators,
             names=np.array(self.names),
+            **extra,
         )
 
     @classmethod
@@ -74,39 +93,67 @@ class PackedDataset2D:
                 labels=z["labels"],
                 indicators=z["indicators"],
                 names=[str(n) for n in z["names"]],
+                spacings=z["spacings"] if "spacings" in z.files else None,
             )
 
     @classmethod
     def concatenate(cls, *datasets: "PackedDataset2D") -> "PackedDataset2D":
         """Train + valid concatenation (reference FullMiccaiDataModule2D,
-        capstone/data/data_module.py:74-88)."""
+        capstone/data/data_module.py:74-88). Spacing survives only when
+        EVERY part carries it — mixing unit-less rows into a
+        millimetre-labeled table is worse than falling back to voxels."""
+        spacings = None
+        if all(d.spacings is not None for d in datasets):
+            spacings = np.concatenate([d.spacings for d in datasets])
         return cls(
             images=np.concatenate([d.images for d in datasets]),
             labels=np.concatenate([d.labels for d in datasets]),
             indicators=np.concatenate([d.indicators for d in datasets]),
             names=sum((d.names for d in datasets), []),
+            spacings=spacings,
         )
 
 
 def pack_slices(npz_dir: Union[str, Path]) -> PackedDataset2D:
-    """Pack a directory of per-slice npz files into a PackedDataset2D."""
+    """Pack a directory of per-slice npz files into a PackedDataset2D.
+
+    Reads the optional per-slice in-plane `spacing` the 2D converter
+    writes. Same mixed-split rule as `pack_volumes`: if ANY slice lacks
+    spacing the whole split packs without it (with a warning) — HD95 then
+    reports voxel units rather than mixing units under a "mm" label.
+    """
     paths = sorted(Path(npz_dir).glob("*.npz"))
     assert paths, f"no npz slices found in {npz_dir}"
-    images, labels, indicators, names = [], [], [], []
+    images, labels, indicators, names, spacings = [], [], [], [], []
+    missing_spacing = []
     for p in paths:
         with np.load(p) as z:
             img = z["image"]  # (1, H, W)
             masks = z["masks"]  # (9, H, W)
             ind = z["mask_indicator"]  # (9,)
+            if "spacing" in z.files:
+                spacings.append(z["spacing"].astype(np.float32))
+            else:
+                missing_spacing.append(p.name)
         images.append(img[0].astype(np.float32))
         labels.append(_squash_masks_np(masks))
         indicators.append(ind.astype(np.float32))
         names.append(p.stem)
+    if missing_spacing and len(missing_spacing) < len(paths):
+        shown = missing_spacing[:5]
+        warnings.warn(
+            "pack_slices: no in-plane spacing for "
+            f"{shown}{'...' if len(missing_spacing) > 5 else ''} while "
+            "other slices carry it; packing the whole split WITHOUT "
+            "spacing (HD95 falls back to voxel units) rather than mixing "
+            "units under one label."
+        )
     return PackedDataset2D(
         images=np.stack(images),
         labels=np.stack(labels),
         indicators=np.stack(indicators),
         names=names,
+        spacings=np.stack(spacings) if not missing_spacing else None,
     )
 
 

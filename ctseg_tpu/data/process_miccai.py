@@ -30,6 +30,16 @@ def _patient_to_2d(patient: miccai.Patient, save_location: Path, crop: bool = Tr
     patient_id = Path(patient.patient_dir).stem
     vol = patient.image.as_numpy()  # (1, D, H, W)
 
+    # In-plane (row, col) voxel spacing from the NRRD header: the patient
+    # spacing is z-first (z, y, x) matching (D, H, W) (reference
+    # capstone/utils/miccai.py:77-82), so a (H, W) slice keeps spacing[1:].
+    # The reference's per-slice npz contract drops it; carrying it lets 2D
+    # HD95 report millimetres like the 3D path.
+    extra = {}
+    spacing = patient.image.spacing
+    if spacing is not None:
+        extra["spacing"] = np.asarray(spacing, np.float32)[1:]
+
     for index in range(patient.num_slides):
         slide = vol[:, index]  # (1, H, W)
         mask_indicator = np.ones(NUM_STRUCTURES)
@@ -52,6 +62,7 @@ def _patient_to_2d(patient: miccai.Patient, save_location: Path, crop: bool = Tr
                 image=slide,
                 masks=masks,
                 mask_indicator=mask_indicator,
+                **extra,
             )
 
 

@@ -78,8 +78,23 @@ def evaluate_2d(
         params = jax.device_put(params, NamedSharding(mesh, P()))
     pipe = DevicePipeline2D(dataset, batch_size)
 
+    # Per-slice in-plane (row, col) spacing -> millimetre HD95, same
+    # contract as the 3D path below. padded_epoch(None) walks the split in
+    # dataset order with index-0 padding rows (data/pipeline.py:30-37), so
+    # the per-batch spacing rows are a plain strided slice of the padded
+    # spacing table; padded rows are masked out via row_valid regardless.
+    spacings_np = getattr(dataset, "spacings", None)
+    use_spacing = with_hd95 and spacings_np is not None
+    if use_spacing:
+        num_batches = -(-len(dataset) // batch_size)
+        pad = num_batches * batch_size - len(dataset)
+        spacings_padded = np.concatenate(
+            [spacings_np, np.repeat(spacings_np[:1], pad, axis=0)]
+        ) if pad else spacings_np
+
     @jax.jit
-    def step(params, images_raw, labels_raw, indicators, row_valid):
+    def step(params, images_raw, labels_raw, indicators, row_valid,
+             spacing=None):
         key = jax.random.key(0)
         images, labels = batched_transform(
             trainer.test_transform, key, images_raw, labels_raw
@@ -102,11 +117,35 @@ def evaluate_2d(
         if with_hd95:
             # Device HD95 (metrics/hd95.py): (value, valid) pairs; padded
             # rows are masked out via row_valid like the Dice metric.
-            def one(p, t, v):
-                vals, ok = hd95_per_structure_device(p, t, NUM_CLASSES)
-                return vals, jnp.logical_and(ok, v)
+            if spacing is not None:
+                # The metric runs on the model grid (test transform is
+                # window + resize + normalize, transforms/pipelines.py:51),
+                # so the header spacing scales by raw/model size per axis.
+                scale = jnp.asarray(
+                    [
+                        images_raw.shape[1] / labels.shape[1],
+                        images_raw.shape[2] / labels.shape[2],
+                    ],
+                    jnp.float32,
+                )
+                spacing = spacing * scale
 
-            hd, hd_valid = jax.vmap(one)(preds, labels, row_valid)
+                def one(p, t, v, sp):
+                    vals, ok = hd95_per_structure_device(
+                        p, t, NUM_CLASSES, spacing=sp
+                    )
+                    return vals, jnp.logical_and(ok, v)
+
+                hd, hd_valid = jax.vmap(one)(
+                    preds, labels, row_valid, spacing
+                )
+            else:
+
+                def one(p, t, v):
+                    vals, ok = hd95_per_structure_device(p, t, NUM_CLASSES)
+                    return vals, jnp.logical_and(ok, v)
+
+                hd, hd_valid = jax.vmap(one)(preds, labels, row_valid)
             return dice, valid, hd, hd_valid
         zeros = jnp.zeros((preds.shape[0], NUM_CLASSES - 1))
         return dice, valid, zeros, zeros > 0
@@ -114,13 +153,22 @@ def evaluate_2d(
     all_dice, all_valid, all_rows = [], [], []
     hd_rows, hd_valid_rows = [], []
     t0 = time.time()
-    for images_raw, labels_raw, indicators, row_valid in pipe.padded_epoch(None):
+    for b, (images_raw, labels_raw, indicators, row_valid) in enumerate(
+        pipe.padded_epoch(None)
+    ):
+        sp = None
+        if use_spacing:
+            sp = jnp.asarray(
+                spacings_padded[b * batch_size:(b + 1) * batch_size]
+            )
         if batch_sharding is not None:
             images_raw, labels_raw, indicators, row_valid = jax.device_put(
                 (images_raw, labels_raw, indicators, row_valid), batch_sharding
             )
+            if sp is not None:
+                sp = jax.device_put(sp, batch_sharding)
         dice, valid, hd, hd_valid = step(
-            params, images_raw, labels_raw, indicators, row_valid
+            params, images_raw, labels_raw, indicators, row_valid, sp
         )
         # Device-resident accumulation: per-batch np.asarray would force a
         # host sync each batch and serialize dispatch against compute.
@@ -160,9 +208,11 @@ def evaluate_2d(
             s: (float(v) if n > 0 else None)
             for s, v, n in zip(STRUCTURES, hd_mean, hd_n)
         }
-        # 2D slices carry no voxel spacing (the packed 2D format has none),
-        # so slice HD95 is always in voxel units — labeled as such.
-        result["hd95_unit"] = "voxel"
+        # Millimetres when the packed split carries per-slice in-plane
+        # spacing (written by the 2D converter from the NRRD header,
+        # scaled to the model grid above); voxel units for legacy packed
+        # files — same contract as the 3D path below.
+        result["hd95_unit"] = "mm" if use_spacing else "voxel"
     return result
 
 

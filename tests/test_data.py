@@ -128,6 +128,43 @@ def test_pack_3d_carries_voxel_spacing(tmp_path):
     np.testing.assert_allclose(back.spacings[1], ds.spacings[1])
 
 
+def test_pack_2d_carries_inplane_spacing(tmp_path):
+    """In-plane spacing flows NRRD header -> per-slice npz -> packed file
+    -> load, as (row, col) = the (y, x) tail of the z-first patient
+    spacing. Synth patients have space directions diag(1.1, 1.1, 3.0) in
+    (H, W, D) => (1.1, 1.1) in-plane."""
+    make_dataset(tmp_path / "raw", n_patients=2, shape=(8, 32, 32))
+    convert_to_2d(tmp_path / "raw", tmp_path / "out", crop=False)
+    ds = pack_slices(tmp_path / "out")
+    assert ds.spacings is not None and ds.spacings.shape == (len(ds), 2)
+    np.testing.assert_allclose(ds.spacings[0], [1.1, 1.1], rtol=1e-6)
+    ds.save(tmp_path / "packed2d.npz")
+    back = PackedDataset2D.load(tmp_path / "packed2d.npz")
+    assert back.spacings is not None
+    np.testing.assert_allclose(back.spacings, ds.spacings)
+    # concatenate keeps spacing only when every part carries it
+    both = PackedDataset2D.concatenate(ds, back)
+    assert both.spacings is not None and len(both.spacings) == 2 * len(ds)
+    legacy = PackedDataset2D(
+        images=ds.images, labels=ds.labels, indicators=ds.indicators
+    )
+    assert PackedDataset2D.concatenate(ds, legacy).spacings is None
+
+
+def test_pack_2d_mixed_spacing_drops_to_voxel(tmp_path):
+    """A split where any slice npz lacks spacing packs with spacings=None
+    (and warns) — never mixing units under one mm label."""
+    make_dataset(tmp_path / "raw", n_patients=1, shape=(8, 32, 32))
+    convert_to_2d(tmp_path / "raw", tmp_path / "out", crop=False)
+    paths = sorted((tmp_path / "out").glob("*.npz"))
+    with np.load(paths[0]) as z:
+        stripped = {k: z[k] for k in z.files if k != "spacing"}
+    np.savez(paths[0], **stripped)
+    with pytest.warns(UserWarning, match="pack_slices: no in-plane"):
+        ds = pack_slices(tmp_path / "out")
+    assert ds.spacings is None
+
+
 def test_pack_3d_legacy_without_spacing(tmp_path):
     """Per-patient npz without a spacing key (reference-written files) and
     legacy packed files load with spacings=None -> voxel-unit metrics."""

@@ -100,6 +100,99 @@ def test_evaluate_3d_hd95_in_millimetres(rng):
         np.testing.assert_allclose(v, 2.5 * u, rtol=1e-4, atol=1e-4)
 
 
+def test_evaluate_2d_hd95_in_millimetres(rng):
+    """A packed 2D split with per-slice in-plane spacing reports HD95 in
+    mm, scaled to the model grid: with raw 64px slices evaluated at
+    input_size 32 and isotropic 2.5 mm header spacing, every surface
+    distance is exactly 2.5 * (64/32) = 5 mm per model-grid voxel."""
+    n, hw = 10, 64
+    images = rng.normal(40, 200, size=(n, hw, hw)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(n, hw, hw)).astype(np.uint8)
+    ind = np.ones((n, 9), np.float32)
+    ds_unit = PackedDataset2D(images=images, labels=labels, indicators=ind)
+    ds_mm = PackedDataset2D(
+        images=images, labels=labels, indicators=ind,
+        spacings=np.full((n, 2), 2.5, np.float32),
+    )
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=4, transform_degree=1,
+        input_size=32,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    r_unit = evaluate_2d(tr, state.params, ds_unit, batch_size=4,
+                         with_hd95=True)
+    r_mm = evaluate_2d(tr, state.params, ds_mm, batch_size=4,
+                       with_hd95=True)
+    assert r_unit["hd95_unit"] == "voxel"
+    assert r_mm["hd95_unit"] == "mm"
+    assert "HD95(mm)" in format_table(r_mm)
+    for s, v in r_mm["per_structure_hd95"].items():
+        u = r_unit["per_structure_hd95"][s]
+        if v is None or u is None:
+            assert v is None and u is None
+            continue
+        np.testing.assert_allclose(v, 5.0 * u, rtol=1e-4, atol=1e-4)
+
+
+def test_evaluate_2d_hd95_matches_scipy_oracle(rng):
+    """End-to-end differential: evaluate_2d's mm HD95 with ANISOTROPIC
+    in-plane spacing equals recomputing the model's own predictions on the
+    host and running the scipy oracle with sampling=model-grid spacing,
+    nan-aggregated per class over slices (reference semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctseg_tpu.metrics.hd95 import hd95_per_structure
+    from ctseg_tpu.ops import squash_predictions
+    from ctseg_tpu.transforms.pipelines import batched_transform
+
+    n, hw, model_hw = 6, 48, 32
+    images = rng.normal(40, 200, size=(n, hw, hw)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(n, hw, hw)).astype(np.uint8)
+    ind = np.ones((n, 9), np.float32)
+    spacing_raw = np.tile(
+        np.asarray([1.1, 0.7], np.float32), (n, 1)
+    )  # anisotropic rows vs cols
+    ds = PackedDataset2D(
+        images=images, labels=labels, indicators=ind, spacings=spacing_raw
+    )
+    cfg = TrainConfig(
+        filters=(4, 8, 16, 32, 64), batch_size=3, transform_degree=1,
+        input_size=model_hw,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    result = evaluate_2d(tr, state.params, ds, batch_size=3, with_hd95=True)
+    assert result["hd95_unit"] == "mm"
+
+    # Host oracle: same transform, same forward, scipy EDT with sampling=.
+    imgs_t, labs_t = batched_transform(
+        tr.test_transform, jax.random.key(0), jnp.asarray(images),
+        jnp.asarray(labels.astype(np.int32)),
+    )
+    preds = np.asarray(
+        squash_predictions(tr.model.apply(state.params, imgs_t))
+    )
+    labs_t = np.asarray(labs_t)
+    scale = hw / model_hw
+    per_slice = np.stack([
+        hd95_per_structure(
+            preds[i], labs_t[i], n_classes=10,
+            spacing=spacing_raw[i] * scale,
+        )
+        for i in range(n)
+    ])  # (n, 9) with nan where either mask empty
+    with np.errstate(invalid="ignore"):
+        expected = np.nanmean(per_slice, axis=0)
+    for k, s in enumerate(result["per_structure_hd95"]):
+        v = result["per_structure_hd95"][s]
+        if np.isnan(expected[k]):
+            assert v is None
+        else:
+            np.testing.assert_allclose(v, expected[k], rtol=1e-4, atol=1e-4)
+
+
 def test_evaluate_3d_sliding_window_mesh_matches_single(rng):
     """The grouped lax.map evaluation gives the same Dice with and without
     a device mesh (windows sharded over 'data'; the --n_devices CLI path)."""
