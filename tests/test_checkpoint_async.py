@@ -189,3 +189,68 @@ def test_periodic_async_saves_in_fit(tmp_path):
     _, restored = Trainer.restore(tmp_path / "run")
     # last periodic save happened at epoch 4 (the final epoch)
     assert int(restored.step) == int(final.step)
+
+
+def test_resume_trajectory_bit_exact(tmp_path):
+    """Resume == uninterrupted, bit-exact (f64 CPU): N epochs straight vs
+    (run k epochs, SIGTERM grace-period save, Trainer.restore, run to N)
+    produce IDENTICAL final params, opt state, plateau state, and step —
+    the resumed run continues the fold_in(base_key, epoch) augmentation
+    key sequence instead of replaying it, and every piece of state
+    round-trips through the checkpoint (SURVEY §5.3-5.4 failure-recovery
+    parity; reference analogue: Lightning's resume_from_checkpoint)."""
+    import pytest
+
+    from ctseg_tpu.training.trainer import Preempted
+
+    N = 4
+    train_ds = _tiny(n=24)
+    val_ds = _synthetic_packed_2d(np.random.default_rng(12), n=8)
+
+    def pipes(cfg):
+        return (
+            DevicePipeline2D(train_ds, cfg.batch_size),
+            DevicePipeline2D(val_ds, cfg.batch_size),
+        )
+
+    # Straight run: N epochs, no interruption.
+    cfg_a = _small_config(epochs=N)
+    tr_a = Trainer(cfg_a)
+    pipe_a, vpipe_a = pipes(cfg_a)
+    final_a = tr_a.fit(tr_a.init_state(), pipe_a, vpipe_a, epochs=N)
+
+    # Interrupted run: SIGTERM after an early epoch -> grace-period save ->
+    # restore -> fit to the same TOTAL N (wherever the preemption landed).
+    cfg_b = _small_config(epochs=N)
+    tr_b = Trainer(cfg_b)
+    pipe_b, vpipe_b = pipes(cfg_b)
+    ckpt_dir = str(tmp_path / "run")
+
+    def send_sigterm(trainer, state, epoch):
+        if epoch == 0:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    with pytest.raises(Preempted):
+        tr_b.fit(
+            tr_b.init_state(), pipe_b, vpipe_b, epochs=N,
+            checkpoint_dir=ckpt_dir, callbacks=[send_sigterm],
+        )
+    tr_b2, restored = Trainer.restore(ckpt_dir)
+    steps_per_epoch = len(train_ds) // cfg_b.batch_size
+    assert 0 < int(restored.step) < N * steps_per_epoch, "must stop mid-run"
+    pipe_b2, vpipe_b2 = pipes(tr_b2.config)
+    final_b = tr_b2.fit(restored, pipe_b2, vpipe_b2, epochs=N)
+
+    assert int(final_a.step) == int(final_b.step) == N * steps_per_epoch
+    for a, b in zip(
+        jax.tree.leaves(final_a.params), jax.tree.leaves(final_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(final_a.opt_state), jax.tree.leaves(final_b.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(final_a.plateau), jax.tree.leaves(final_b.plateau)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
