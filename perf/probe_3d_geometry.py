@@ -111,10 +111,18 @@ def main():
     enable_compilation_cache()
     results = []
     for batch, patch in CONFIGS:
-        r = probe(batch, patch)
+        try:
+            r = probe(batch, patch)
+        except Exception as e:  # e.g. HBM OOM on the 16G v5e — record, go on
+            r = {
+                "batch": batch,
+                "patch": list(patch),
+                "error": f"{type(e).__name__}: {str(e)[:300]}",
+            }
         print(json.dumps(r), flush=True)
         results.append(r)
-    best = max(results, key=lambda r: r["mvoxels_per_sec"])
+    ok = [r for r in results if "error" not in r]
+    best = max(ok, key=lambda r: r["mvoxels_per_sec"])
     print("best:", json.dumps(best))
     out = {
         "device": jax.devices()[0].device_kind,
