@@ -243,7 +243,16 @@ def pack_volumes(npz_dir: Union[str, Path]) -> PackedDataset3D:
                 # ANY file lacks spacing (back-filling unit spacing would
                 # silently mislabel HD95 mm numbers).
                 missing_spacing.append(p.name)
-        images.append(img[0].astype(np.float32))
+        img0 = img[0]
+        # Integer HU (PDDCA NRRDs are int16) stays integer: half the packed
+        # bytes, half the host->device upload per eval chunk (measured
+        # transfer-dominant on a tunneled chip, perf/probe_eval_inloop.py),
+        # and bit-exact downstream — every jitted consumer casts to float32
+        # on device, and int16 -> float32 is exact. Float inputs normalize
+        # to float32 as before.
+        if np.issubdtype(img0.dtype, np.floating):
+            img0 = img0.astype(np.float32)
+        images.append(img0)
         labels.append(_squash_masks_np(masks))
         indicators.append(ind.astype(np.float32))
         names.append(p.stem)

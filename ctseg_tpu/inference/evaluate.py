@@ -457,18 +457,27 @@ def evaluate_3d_sliding_window(
 
     all_dice, all_valid, hd_rows, hd_valid_rows = [], [], [], []
     t0 = time.time()
-    staged = stage(items[0])
-    for k in range(len(items)):
-        bucket, args = staged
-        out = group_fns[bucket](params, *args)  # async dispatch
-        if k + 1 < len(items):
-            # Double-buffer: upload the next chunk while this one computes.
-            staged = stage(items[k + 1])
-        all_dice.append(out[0])
-        all_valid.append(out[1])
-        if with_hd95:
-            hd_rows.append(out[2])
-            hd_valid_rows.append(out[3])
+    # Double-buffer through a worker THREAD: on a tunneled chip
+    # jax.device_put BLOCKS for the whole transfer (measured 3.9 s per
+    # 131 MB chunk at the EVIDENCE shape, perf/probe_eval_inloop.py — the
+    # dominant in-loop cost), so staging inline after the dispatch never
+    # overlapped anything. The worker uploads chunk k+1 while the device
+    # computes chunk k; device_put is thread-safe and the main thread only
+    # dispatches.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(stage, items[0])
+        for k in range(len(items)):
+            bucket, args = fut.result()
+            if k + 1 < len(items):
+                fut = ex.submit(stage, items[k + 1])
+            out = group_fns[bucket](params, *args)  # async dispatch
+            all_dice.append(out[0])
+            all_valid.append(out[1])
+            if with_hd95:
+                hd_rows.append(out[2])
+                hd_valid_rows.append(out[3])
     dice = jnp.concatenate(all_dice)
     valid = jnp.concatenate(all_valid)
     float(dice.ravel()[0])  # full sync (axon block_until_ready returns early)

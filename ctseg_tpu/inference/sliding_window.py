@@ -74,8 +74,19 @@ def bucketed_grid(raw_shape_dhw, patch_size, overlap):
     """
     d, h, w = raw_shape_dhw
     true_hwd = (h, w, d)
-    bucket = tuple(
-        bucket_axis(s, p, overlap) for s, p in zip(true_hwd, patch_size)
+    # Bucket ONLY the depth axis: PDDCA scans share one in-plane size after
+    # the anatomical crop (512x512 -> 280x280) while depth varies per
+    # patient, so rounding H/W up to the window grid bought no program
+    # sharing — it only inflated every runner/metric program by the pad
+    # voxels (280->320 per axis, 1.31x; measured transfer+EDT-bound eval
+    # loop, perf/probe_eval_inloop.py). H/W stay exact (clamped starts are
+    # traced arguments, so in-plane grids need no padding); depth keeps the
+    # window-count-neutral bucket that lets mixed-depth datasets share one
+    # compiled program (2.72x cold eval, perf/probe_cold_eval.py).
+    bucket = (
+        max(h, patch_size[0]),
+        max(w, patch_size[1]),
+        bucket_axis(d, patch_size[2], overlap),
     )
     hp = tuple(max(s, p) for s, p in zip(true_hwd, patch_size))
     starts = compute_window_grid(hp, patch_size, overlap)

@@ -46,8 +46,11 @@ def make_dataset():
     from ctseg_tpu.data.datasets import PackedDataset3D
 
     rng = np.random.default_rng(0)
+    # int16 HU, matching what pack_volumes now carries for PDDCA NRRDs
+    # (integer dtype preserved end-to-end; jitted consumers cast on device).
     imgs = [
-        rng.normal(40, 300, size=SHAPE).astype(np.float32) for _ in range(N_VOLS)
+        rng.integers(-1024, 2000, size=SHAPE).astype(np.int16)
+        for _ in range(N_VOLS)
     ]
     labs = [
         rng.integers(0, 10, size=SHAPE).astype(np.uint8) for _ in range(N_VOLS)

@@ -224,3 +224,31 @@ def test_missing_structure_indicator(tmp_path):
     convert_to_2d(tmp_path, tmp_path / "out", crop=False)
     ds = pack_slices(tmp_path / "out")
     assert (ds.indicators[:, 1] == 0).all()  # Chiasm column
+
+
+def test_pack_3d_preserves_integer_hu(tmp_path):
+    """pack_volumes keeps integer image dtypes (int16 PDDCA HU -> half the
+    packed bytes and half the eval-chunk upload) and still normalizes
+    floats to float32; the npz save/load round-trip preserves both."""
+    common = dict(
+        masks=np.zeros((9, 4, 8, 8), np.uint8),
+        mask_indicator=np.ones(9),
+        spacing=np.array([3.0, 1.1, 1.1], np.float32),
+    )
+    common["masks"][0, 1, 2, 2] = 1
+    np.savez(
+        tmp_path / "p0.npz",
+        image=np.full((1, 4, 8, 8), -1024, np.int16), **common,
+    )
+    np.savez(
+        tmp_path / "p1.npz",
+        image=np.zeros((1, 4, 8, 8), np.float64), **common,
+    )
+    ds = pack_volumes(tmp_path)
+    assert ds.images[0].dtype == np.int16
+    assert ds.images[1].dtype == np.float32
+    ds.save(tmp_path / "packed.npz")
+    back = PackedDataset3D.load(tmp_path / "packed.npz")
+    assert back.images[0].dtype == np.int16
+    assert back.images[1].dtype == np.float32
+    np.testing.assert_array_equal(back.images[0], ds.images[0])

@@ -611,3 +611,33 @@ def test_evaluate_3d_exclude_missing_masks_logits(rng):
         stub, None, ds, patch_size=(32, 32, 16), batch_size=2, window=False
     )
     assert result["per_structure_dice"]["Mandible"] == pytest.approx(1.0)
+
+
+def test_evaluate_3d_int16_hu_matches_float32(rng):
+    """Integer-HU packed volumes (PDDCA NRRDs are int16; pack_volumes now
+    preserves the dtype to halve upload bytes) evaluate BIT-EXACTLY like
+    the float32 cast of the same data: every jitted consumer casts to
+    float32 on device and int16 -> float32 is exact."""
+    hu = rng.integers(-1024, 2000, size=(2, 14, 40, 40)).astype(np.int16)
+    labels = [rng.integers(0, 10, size=(14, 40, 40)).astype(np.uint8)
+              for _ in range(2)]
+    inds = [np.ones(9, np.float32)] * 2
+    spac = [np.array([3.0, 1.1, 1.1], np.float32)] * 2
+    ds_i16 = PackedDataset3D(list(hu), labels, inds, spacings=spac)
+    ds_f32 = PackedDataset3D(
+        [v.astype(np.float32) for v in hu], labels, inds, spacings=spac
+    )
+
+    cfg = TrainConfig(
+        filters=(2, 4, 8, 16, 32), num_res_units=1, batch_size=2,
+        loss_fx=("CrossEntropy",), spatial_dims=3,
+        input_shape=(32, 32, 16), in_channels=1,
+    )
+    tr = make_trainer_3d(cfg, mode="patch")
+    state = tr.init_state()
+    kw = dict(patch_size=(32, 32, 16), batch_size=2, with_hd95=True)
+    r_i = evaluate_3d_sliding_window(tr, state.params, ds_i16, **kw)
+    r_f = evaluate_3d_sliding_window(tr, state.params, ds_f32, **kw)
+    assert r_i["mean_dice"] == r_f["mean_dice"]
+    assert r_i["per_structure_dice"] == r_f["per_structure_dice"]
+    assert r_i["per_structure_hd95"] == r_f["per_structure_hd95"]
