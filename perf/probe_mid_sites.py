@@ -116,6 +116,44 @@ def conv_case(name, batch, vox, c, norm_act, rng):
     }
 
 
+def grouped_case(name, norm_act, rng):
+    """Measured-and-rejected fix attempt for the C=64 lane class: merge
+    batch pairs into channels (batch 64, C=128) and run a grouped conv
+    (feature_group_count=2, tied weights) so the output lane dim is 128.
+    Numerically identical to c64_base (each merged channel is one
+    (sample, channel) pair; IN stats unchanged in merged layout). Result:
+    XLA's grouped-conv path on v5e is ~2.5x SLOWER than the ungrouped
+    C=64 conv (0.245 vs 0.604 bare MFU) — rejected."""
+    dn = ("NHWDC", "HWDIO", "NHWDC")
+
+    def unit(x, w, b, a):
+        wg = jnp.concatenate([w, w], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            x, wg.astype(x.dtype), window_strides=(1, 1, 1),
+            padding=[(1, 1)] * 3, dimension_numbers=dn,
+            feature_group_count=2,
+        ) + jnp.concatenate([b, b]).astype(x.dtype)
+        if not norm_act:
+            return y
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(y32 - mean), axis=(1, 2, 3), keepdims=True)
+        xhat = (y32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        al = a.reshape(()).astype(jnp.float32)
+        return jnp.where(xhat >= 0, xhat, al * xhat).astype(y.dtype)
+
+    x = jnp.asarray(rng.normal(size=(64, 64, 64, 8, 128)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 64, 64)) * 0.02, jnp.float32)
+    b = jnp.zeros((64,), jnp.float32)
+    a = jnp.asarray([0.25], jnp.float32)
+    ms = time_chained(unit, (x, w, b, a))
+    flops = 3.0 * 2.0 * 27 * 64 * 64 * 64 * 8 * 64 * 128
+    return {
+        "name": name, "norm_act": norm_act, "fwdbwd_ms": round(ms, 2),
+        "mfu": round(flops / (ms / 1e3) / PEAK_BF16, 4),
+    }
+
+
 def gemm_case(name, m, k, n, rng):
     x = jnp.asarray(rng.normal(size=(m, k)) * 0.1, jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(k, n)) * 0.02, jnp.bfloat16)
@@ -146,6 +184,8 @@ def main():
         # im2col GEMM shapes of c64 (M=b*vox=128*32768, K=27*64, N=64) is
         # 4.2M x 1728 x 64 -> too big for one HBM buffer in bf16 at chain
         # depth; scale M down 8x (same K, N -> same per-tile efficiency).
+        lambda: grouped_case("c64_grouped_merged", False, rng),
+        lambda: grouped_case("c64_grouped_merged_norm", True, rng),
         lambda: gemm_case("gemm_K1728_N64", 524288, 1728, 64, rng),
         lambda: gemm_case("gemm_K3456_N128", 131072, 3456, 128, rng),
         lambda: gemm_case("gemm_K1728_N128", 262144, 1728, 128, rng),
