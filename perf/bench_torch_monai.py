@@ -37,6 +37,11 @@ only):
     reference builds (mirrors ctseg_tpu/losses/segmentation.py, which is
     differential-tested against the same published semantics).
 
+`--dims 3` times bench.py line 2's volumetric configuration instead: the
+reference's 3D model (capstone/volumetric/base_trainer.py:58-72 — MONAI
+UNet dimensions=3, in_channels=1, num_res_units=2), CE+Dice, batch 128,
+random native-resolution (128,128,16) patches windowed in the workers.
+
 Output: ONE JSON line, same shape as bench.py's —
   {"metric": "torch_monai_model_l_train_throughput", "value": patches/sec,
    "unit", "ms_per_step", "device", "amp", "backend": {...}}
@@ -157,6 +162,47 @@ class SyntheticSlices(torch.utils.data.Dataset):
         return img, mask, torch.from_numpy(self.indicators[i])
 
 
+class SyntheticPatches3D(torch.utils.data.Dataset):
+    """Raw-HU synthetic volumes; each item is a random native-resolution
+    3D patch, soft-tissue windowed in the worker — the torch-side analogue
+    of bench.py line 2's on-device PatchPipeline3D + windowed patch
+    transform (reference 3D model config:
+    capstone/volumetric/base_trainer.py:58-72, in_channels=1)."""
+
+    def __init__(self, n_vols: int, vol_shape, patch):
+        rng = np.random.default_rng(0)
+        self.volumes = [
+            rng.integers(-1024, 2000, size=vol_shape).astype(np.int16)
+            for _ in range(n_vols)
+        ]
+        self.labels = [
+            rng.integers(0, 10, size=vol_shape).astype(np.uint8)
+            for _ in range(n_vols)
+        ]
+        self.patch = patch  # (H, W, D); volumes are (D, H, W)
+        self.rng = np.random.default_rng(1)
+        self.n_items = 4096  # virtual length: patches per epoch
+
+    def __len__(self):
+        return self.n_items
+
+    def __getitem__(self, _):
+        i = int(self.rng.integers(0, len(self.volumes)))
+        vol, lab = self.volumes[i], self.labels[i]
+        ph, pw, pd = self.patch
+        d0 = int(self.rng.integers(0, vol.shape[0] - pd + 1))
+        y0 = int(self.rng.integers(0, vol.shape[1] - ph + 1))
+        x0 = int(self.rng.integers(0, vol.shape[2] - pw + 1))
+        img = vol[d0:d0 + pd, y0:y0 + ph, x0:x0 + pw].astype(np.float32)
+        img = _apply_window(img, *WINDOWING_CONFIG["soft_tissue"], shift=True)
+        msk = lab[d0:d0 + pd, y0:y0 + ph, x0:x0 + pw].astype(np.int64)
+        # (1, H, W, D) like the repo's channel-last-before-conv layout;
+        # torch conv3d treats the three trailing axes symmetrically.
+        img = np.ascontiguousarray(img.transpose(1, 2, 0)[None])
+        msk = np.ascontiguousarray(msk.transpose(1, 2, 0))
+        return torch.from_numpy(img), torch.from_numpy(msk), torch.ones(9)
+
+
 # ------------------------------------------------------------------- losses
 def focal_loss(logits, labels, gamma: float = 2.0):
     """MONAI FocalLoss(gamma=2, mean) semantics on a one-hot target: mean
@@ -170,12 +216,13 @@ def focal_loss(logits, labels, gamma: float = 2.0):
 
 def dice_loss(logits, labels, smooth: float = 1e-5):
     """MONAI DiceLoss(include_background=False, to_onehot_y=True,
-    softmax=True, mean) semantics."""
+    softmax=True, mean) semantics (2D or 3D)."""
     n_classes = logits.shape[1]
     probs = torch.softmax(logits, dim=1)
     target = torch.nn.functional.one_hot(labels, n_classes)
-    target = target.permute(0, 3, 1, 2).to(probs.dtype)
-    dims = (2, 3)
+    perm = (0, labels.ndim) + tuple(range(1, labels.ndim))
+    target = target.permute(*perm).to(probs.dtype)
+    dims = tuple(range(2, logits.ndim))
     intersection = (target * probs).sum(dim=dims)[:, 1:]
     target_o = target.sum(dim=dims)[:, 1:]
     pred_o = probs.sum(dim=dims)[:, 1:]
@@ -197,12 +244,13 @@ def dice_metric(pred_labels, labels, n_classes: int = 10):
 
 
 # -------------------------------------------------------------------- model
-def build_model(filters, num_res_units: int = 2):
+def build_model(filters, num_res_units: int = 2, dims: int = 2,
+                in_channels: int = 3):
     try:
         from monai.networks.nets import UNet
 
         net = UNet(
-            dimensions=2, in_channels=3, out_channels=10,
+            dimensions=dims, in_channels=in_channels, out_channels=10,
             channels=list(filters), strides=[2, 2, 2, 2],
             num_res_units=num_res_units,
         )
@@ -212,7 +260,7 @@ def build_model(filters, num_res_units: int = 2):
         from torch_unet_oracle import MonaiUNetOracle
 
         net = MonaiUNetOracle(
-            dims=2, in_channels=3, out_channels=10,
+            dims=dims, in_channels=in_channels, out_channels=10,
             channels=tuple(filters), strides=(2, 2, 2, 2),
             num_res_units=num_res_units,
         )
@@ -233,15 +281,25 @@ def run(args) -> dict:
         except ImportError:
             pass
 
-    model, backend = build_model(args.filters)
+    model, backend = build_model(
+        args.filters, dims=args.dims, in_channels=3 if args.dims == 2 else 1
+    )
     model = model.to(device).train()
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     scaler = torch.amp.GradScaler("cuda", enabled=use_cuda)
 
-    ds = SyntheticSlices(
-        n=max(args.batch * 2, 8), raw=args.raw, crop=args.crop,
-        use_albumentations=use_alb,
-    )
+    if args.dims == 2:
+        ds = SyntheticSlices(
+            n=max(args.batch * 2, 8), raw=args.raw, crop=args.crop,
+            use_albumentations=use_alb,
+        )
+    else:
+        patch = tuple(args.patch)
+        vol_shape = (
+            max(27, patch[2] + 2), max(args.raw, patch[0]),
+            max(args.raw, patch[1]),
+        )
+        ds = SyntheticPatches3D(n_vols=8, vol_shape=vol_shape, patch=patch)
     loader = torch.utils.data.DataLoader(
         ds, batch_size=args.batch, shuffle=True, drop_last=True,
         num_workers=args.workers, pin_memory=use_cuda,
@@ -253,7 +311,12 @@ def run(args) -> dict:
         opt.zero_grad(set_to_none=True)
         with torch.autocast(device.type, enabled=use_cuda):
             logits = model(images)
-            loss = focal_loss(logits, masks) + dice_loss(logits, masks)
+            if args.dims == 2:  # Focal+Dice: the flagship 2D recipe
+                loss = focal_loss(logits, masks) + dice_loss(logits, masks)
+            else:  # CE+Dice: bench.py line 2's 3D recipe
+                loss = torch.nn.functional.cross_entropy(
+                    logits, masks
+                ) + dice_loss(logits, masks)
         scaler.scale(loss).backward()
         scaler.step(opt)
         scaler.update()
@@ -286,18 +349,25 @@ def run(args) -> dict:
     step_s = (time.perf_counter() - t0) / args.steps
 
     return {
-        "metric": "torch_monai_model_l_train_throughput",
+        "metric": (
+            "torch_monai_model_l_train_throughput" if args.dims == 2
+            else "torch_monai_unet3d_patch_train_throughput"
+        ),
         "value": round(args.batch / step_s, 2),
         "unit": "patches/sec",
         "ms_per_step": round(step_s * 1000, 2),
         "device": torch.cuda.get_device_name(device) if use_cuda else "cpu",
         "amp": use_cuda,
         "batch": args.batch,
-        "crop": args.crop,
+        "dims": args.dims,
+        "crop": args.crop if args.dims == 2 else list(args.patch),
         "filters": list(args.filters),
         "backend": {
             "model": backend,
-            "transforms": "albumentations" if use_alb else "numpy degree-2",
+            "transforms": (
+                ("albumentations" if use_alb else "numpy degree-2")
+                if args.dims == 2 else "random 3D patch + soft-tissue window"
+            ),
             "torch": torch.__version__,
             "workers": args.workers,
         },
@@ -317,6 +387,12 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=20)  # == bench.py TIMED_STEPS
     p.add_argument("--warmup", type=int, default=3)  # == bench.py WARMUP_STEPS
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--dims", type=int, choices=(2, 3), default=2,
+                   help="2 = flagship Model L slices; 3 = the bench.py "
+                        "line-2 volumetric patch config (CE+Dice, "
+                        "in_channels=1)")
+    p.add_argument("--patch", nargs=3, type=int, default=[128, 128, 16],
+                   help="3D patch (H, W, D) when --dims 3")
     p.add_argument("--no_albumentations", action="store_true",
                    help="force the numpy transform fallback")
     args = p.parse_args(argv)

@@ -83,3 +83,17 @@ def test_numpy_degree2_transform_contract():
     # brain window (80, 40): HU 40 -> 0.5 pre-normalize
     expected = (0.5 - 0.107) / 0.271
     np.testing.assert_allclose(img[0].numpy(), expected, rtol=1e-5)
+
+
+def test_bench_torch_monai_3d_smoke():
+    """--dims 3: the bench.py line-2 volumetric config (CE+Dice, 3D UNet,
+    random windowed patches) runs on CPU with tiny overrides."""
+    result = main([
+        "--device", "cpu", "--dims", "3", "--batch", "2", "--raw", "48",
+        "--patch", "32", "32", "16", "--filters", "4", "8", "16", "32", "64",
+        "--steps", "2", "--warmup", "1", "--workers", "0",
+    ])
+    assert result["metric"] == "torch_monai_unet3d_patch_train_throughput"
+    assert result["value"] > 0
+    assert result["dims"] == 3
+    assert np.isfinite(result["final_loss"])
