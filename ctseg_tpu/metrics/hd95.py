@@ -138,28 +138,57 @@ def _masked_order_stat(d2: jnp.ndarray, mask: jnp.ndarray, j: jnp.ndarray,
 # than hi0 (sub-0.01mm surface distances under a multi-metre search bound).
 _FLOAT_SEARCH_ITERS = 50
 
+# k-ary replacement for the float search: _KARY interior thresholds per
+# pass -> each level shrinks the interval (_KARY+1)-fold, so
+# _KARY_LEVELS * log2(_KARY+1) = 13 * 4 = 52 bisection-equivalent bits
+# (>= the 50 the ULP argument above requires).
+_KARY = 15
+_KARY_LEVELS = 13
+
 
 def _masked_order_stat_float(d2, mask, j, hi0) -> jnp.ndarray:
     """j-th smallest (0-indexed) of the float d2 entries where `mask` is
-    set: fixed-iteration bisection on [0, hi0] for the smallest t with
+    set: k-ary search on [0, hi0] for the smallest t with
     count(masked d2 <= t) >= j + 1. `hi0` is a (traced) upper bound on the
     masked values. Used for anisotropic spacing, where squared distances
     stop being integers; converges to the exact order statistic because
     counts are piecewise-constant between data values (tests/test_hd95.py
-    pins it against np.percentile through the scipy oracle)."""
-    d2 = d2.ravel()
-    m = mask.ravel()
+    pins it against np.percentile through the scipy oracle).
+
+    Each level tests _KARY interior thresholds in ONE pass over the array
+    (a (voxels, _KARY) broadcast-compare fused into the count reduction),
+    shrinking the interval (_KARY+1)-fold — the same convergence as
+    binary bisection with log2(_KARY+1)x fewer full-array reads. The
+    original 50-iteration bisection was the eval loop's second-largest
+    HBM consumer (perf/hd95_cost_v5e.json); levels * log2(_KARY+1) >= 50
+    keeps the identical ULP-convergence argument (see _FLOAT_SEARCH_ITERS
+    note below), and the prototype matched it bit-for-bit on randomized
+    cases before adoption."""
+    # Masked-out entries become > hi0, so a plain compare counts only the
+    # masked set; computed once outside the level loop (XLA hoists it) so
+    # the per-level work is a single fused broadcast-compare-reduce, not a
+    # materialized (voxels, _KARY) where.
+    d2m = jnp.where(mask.ravel(), d2.ravel(), 2.0 * hi0 + 1.0)
+    frac = jnp.arange(1, _KARY + 1, dtype=jnp.float32) / (_KARY + 1)
 
     def body(_, bounds):
         lo, hi = bounds
-        mid = (lo + hi) * 0.5
-        cnt = jnp.sum(jnp.where(m, d2 <= mid, False))
-        found = cnt >= j + 1
-        return jnp.where(found, lo, mid), jnp.where(found, mid, hi)
+        ts = lo + (hi - lo) * frac  # (_KARY,) interior thresholds
+        cnt = jnp.sum(d2m[None, :] <= ts[:, None], axis=1)
+        ok = cnt >= j + 1  # monotone False..True along ts
+        idx = jnp.argmax(ok)  # first satisfying threshold (0 if none)
+        any_ok = jnp.any(ok)
+        new_hi = jnp.where(any_ok, ts[idx], hi)
+        new_lo = jnp.where(
+            any_ok,
+            jnp.where(idx == 0, lo, ts[jnp.maximum(idx - 1, 0)]),
+            ts[_KARY - 1],
+        )
+        return new_lo, new_hi
 
     lo = jnp.float32(-1.0)  # strictly below any d2, so the invariant
     hi = hi0.astype(jnp.float32)  # count(<=lo) < j+1 holds from step one
-    lo, hi = jax.lax.fori_loop(0, _FLOAT_SEARCH_ITERS, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, _KARY_LEVELS, body, (lo, hi))
     return hi
 
 
@@ -226,8 +255,11 @@ def hd95_per_structure_device(
         ts = _surface_device(tm)
         # distance_transform_edt(~surface): distance to the nearest surface
         # voxel of the other mask, evaluated at this mask's surface voxels.
-        d2_to_t = edt_squared(jnp.logical_not(ts), spacing)
-        d2_to_p = edt_squared(jnp.logical_not(ps), spacing)
+        # pallas=True: the metric path opts into the VMEM-resident
+        # min-plus kernel (2.5x on these EDTs; bit-exact); the boundary-
+        # LOSS path deliberately does not (ops/edt.py::_use_pallas_min_plus).
+        d2_to_t = edt_squared(jnp.logical_not(ts), spacing, pallas=True)
+        d2_to_p = edt_squared(jnp.logical_not(ps), spacing, pallas=True)
         a, na = _masked_percentile_sqrt(d2_to_t, ps, percentile, n_iters, hi0)
         b, nb = _masked_percentile_sqrt(d2_to_p, ts, percentile, n_iters, hi0)
         ok = jnp.logical_and(na > 0, nb > 0)

@@ -45,18 +45,53 @@ def _scan_distance_1d(sites: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(dist, 0, -1)
 
 
-def _min_plus(d2: jnp.ndarray, axis: int, scale=None) -> jnp.ndarray:
+def _use_pallas_min_plus(requested: bool) -> bool:
+    """Whether a min-plus pass runs as the Pallas kernel.
+
+    The XLA lowering of the all-pairs reduce re-reads the d2 slab per
+    output row (HBM-bound: 74 of the device HD95's 131 ms/volume at the
+    eval shape, perf/hd95_cost_v5e.json); the kernel keeps the slab in
+    VMEM (ops/pallas/min_plus.py), bit-exact by construction and by test
+    (2.5x on the eval EDTs). It is OPT-IN per call site because inside
+    the boundary-loss TRAIN step the custom call breaks XLA's global
+    fusion plan and the full step measured 129.3 -> 222.3 ms (the same
+    end-to-end phenomenon as the round-3 fused-norm kernels, PARITY.md) —
+    the metric path requests it (metrics/hd95.py), the loss path does not.
+    CTSEG_EDT_PALLAS=0 force-disables everywhere, =1 force-enables
+    (measurement/debug); default honors the caller's request on TPU.
+    """
+    import os
+
+    flag = os.environ.get("CTSEG_EDT_PALLAS", "auto")
+    if flag in ("0", "false"):
+        return False
+    if flag in ("1", "true"):
+        return jax.default_backend() == "tpu"
+    return requested and jax.default_backend() == "tpu"
+
+
+def _min_plus(d2: jnp.ndarray, axis: int, scale=None,
+              pallas: bool = False) -> jnp.ndarray:
     """One separable squared-EDT pass: D2[i] = min_k (d2[k] + (s*(i - k))^2).
 
     Exact (the squared EDT is separable per axis, with any per-axis scale
     — the anisotropic squared distance decomposes as a sum over axes of
-    s_ax^2 * delta_ax^2); brute-force O(n^2) over the axis, which XLA fuses
-    into the reduction without materializing the (n, n, rest) broadcast.
-    `scale` may be a traced scalar (voxel spacing along this axis), so one
-    compiled program serves every patient's anisotropic spacing.
+    s_ax^2 * delta_ax^2); brute-force O(n^2) over the axis. On TPU the
+    pass runs as a Pallas VPU kernel (see _use_pallas_min_plus); elsewhere
+    XLA fuses the (n, n, rest) broadcast into the reduction. `scale` may
+    be a traced scalar (voxel spacing along this axis), so one compiled
+    program serves every patient's anisotropic spacing. Both paths compute
+    the identical float expression and are f32-bit-equal (tests/test_pallas.py).
     """
     n = d2.shape[axis]
     d2m = jnp.moveaxis(d2, axis, 0)  # (n, ...)
+    if _use_pallas_min_plus(pallas) and d2.dtype == jnp.float32:
+        from ctseg_tpu.ops.pallas.min_plus import min_plus_2d
+
+        s = jnp.float32(1.0) if scale is None else scale
+        rest = d2m.shape[1:]
+        out = min_plus_2d(d2m.reshape(n, -1), s).reshape((n,) + rest)
+        return jnp.moveaxis(out, 0, axis)
     i = jnp.arange(n, dtype=d2.dtype)
     delta = i[:, None] - i[None, :]  # (n, n)
     if scale is not None:
@@ -67,7 +102,8 @@ def _min_plus(d2: jnp.ndarray, axis: int, scale=None) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, axis)
 
 
-def edt_squared(mask: jnp.ndarray, spacing=None) -> jnp.ndarray:
+def edt_squared(mask: jnp.ndarray, spacing=None,
+                pallas: bool = False) -> jnp.ndarray:
     """Exact SQUARED Euclidean distance to the nearest zero of `mask`, N-D.
 
     scipy.ndimage.distance_transform_edt(mask, sampling=spacing)**2
@@ -86,7 +122,7 @@ def edt_squared(mask: jnp.ndarray, spacing=None) -> jnp.ndarray:
     d2 = jnp.minimum(g * g, _BIG)
     for ax in range(mask.ndim - 1):
         scale = None if spacing is None else spacing[ax]
-        d2 = _min_plus(d2, ax, scale)
+        d2 = _min_plus(d2, ax, scale, pallas=pallas)
     return d2
 
 

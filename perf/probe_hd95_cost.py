@@ -13,7 +13,11 @@ spacing, each piece in isolation (serial in-dispatch chain to beat the
 tunnel's dispatch latency):
 
   surfaces_ms      both masks' surface extraction (erosion diffs)
-  edt_ms           the 18 EDTs (9 classes x 2 directions), vmapped
+  edt_ms           the 18 EDTs (9 classes x 2 directions), vmapped, on
+                   the metric path (Pallas min-plus kernel on TPU)
+  edt_jnp_loss_path_ms  the same EDTs on the jnp path the boundary LOSS
+                   keeps (the kernel measured 129->222 ms on the full
+                   boundary train step and is opt-in per call site)
   percentile_ms    the 36 bisection order stats on precomputed d2
   full_ms          hd95_per_structure_device end-to-end
 
@@ -45,11 +49,18 @@ def timeit(f, *args, reps=3):
 
 
 def chained(fn):
-    """Run fn CHAIN times with a data dependency so dispatch amortizes."""
+    """Run fn CHAIN times with a data dependency so dispatch amortizes.
+
+    The loop carry must flow INTO the computation's *inputs*, not be added
+    to its output — an output-side bias leaves the body loop-invariant and
+    XLA hoists the whole metric out of the scan (measured: a first version
+    of this probe under-reported by ~4x that way). `fn(*args, carry=c)`
+    receives the carry and must mix it into its array inputs via a
+    runtime-opaque, value-preserving op (e.g. where(c < 1e20, x, 0))."""
 
     def run(*args):
         def body(c, _):
-            out = fn(*args, bias=c)
+            out = fn(*args, carry=c)
             return 1e-30 * out, None
 
         acc, _ = jax.lax.scan(
@@ -76,23 +87,34 @@ def main():
     spacing = jnp.asarray([1.1, 1.1, 3.0], jnp.float32)
     classes = jnp.arange(1, 10)
 
-    def surfaces(pred, targ, bias=0.0):
+    def _mix(x, carry):
+        # value-preserving, runtime-opaque dependency on the loop carry
+        return jnp.where(carry < jnp.float32(1e20), x, jnp.zeros_like(x))
+
+    def surfaces(pred, targ, carry=0.0):
+        pred = _mix(pred, carry)
+
         def one(c):
             ps = _surface_device(pred == c)
             ts = _surface_device(targ == c)
             return jnp.sum(ps) + jnp.sum(ts)
 
-        return jnp.sum(jax.vmap(one)(classes)).astype(jnp.float32) + bias
+        return jnp.sum(jax.vmap(one)(classes)).astype(jnp.float32)
 
-    def edts(pred, targ, bias=0.0):
-        def one(c):
-            ps = _surface_device(pred == c)
-            ts = _surface_device(targ == c)
-            d2_t = edt_squared(jnp.logical_not(ts), spacing)
-            d2_p = edt_squared(jnp.logical_not(ps), spacing)
-            return jnp.sum(d2_t) + jnp.sum(d2_p)
+    def make_edts(pallas):
+        def edts(pred, targ, carry=0.0):
+            pred = _mix(pred, carry)
 
-        return jnp.sum(jax.vmap(one)(classes)).astype(jnp.float32) + bias
+            def one(c):
+                ps = _surface_device(pred == c)
+                ts = _surface_device(targ == c)
+                d2_t = edt_squared(jnp.logical_not(ts), spacing, pallas=pallas)
+                d2_p = edt_squared(jnp.logical_not(ps), spacing, pallas=pallas)
+                return jnp.sum(d2_t) + jnp.sum(d2_p)
+
+            return jnp.sum(jax.vmap(one)(classes)).astype(jnp.float32)
+
+        return edts
 
     # Precompute one d2/mask pair per class for the percentile-only probe.
     def make_d2(pred, targ):
@@ -108,23 +130,26 @@ def main():
         (spacing * jnp.asarray([s - 1 for s in SHAPE], jnp.float32)) ** 2
     )
 
-    def percentiles(d2s, masks, bias=0.0):
+    def percentiles(d2s, masks, carry=0.0):
+        d2s = _mix(d2s, carry)
+
         def one(d2, m):
             v, n = _masked_percentile_sqrt(d2, m, 95.0, 1, hi0)
             return v
 
-        return jnp.sum(jax.vmap(one)(d2s, masks)) + bias
+        return jnp.sum(jax.vmap(one)(d2s, masks))
 
-    def full(pred, targ, bias=0.0):
+    def full(pred, targ, carry=0.0):
         vals, ok = hd95_per_structure_device(
-            pred, targ, 10, spacing=spacing
+            _mix(pred, carry), targ, 10, spacing=spacing
         )
-        return jnp.sum(vals) + bias
+        return jnp.sum(vals)
 
     results = {}
     for name, fn, args in [
         ("surfaces_ms", surfaces, (pred, targ)),
-        ("edt_ms", edts, (pred, targ)),
+        ("edt_ms", make_edts(True), (pred, targ)),
+        ("edt_jnp_loss_path_ms", make_edts(False), (pred, targ)),
         ("percentile_ms", percentiles, (d2s, masks)),
         ("full_ms", full, (pred, targ)),
     ]:

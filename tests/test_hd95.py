@@ -151,3 +151,48 @@ def test_device_all_percentiles(rng):
         np.testing.assert_allclose(
             np.asarray(vals)[0], ref, rtol=1e-5, atol=1e-5
         )
+
+
+def test_kary_order_stat_matches_plain_bisection(rng):
+    """The k-ary masked order statistic equals a reference 50-iteration
+    binary bisection (the pre-round-5 implementation) bit-for-bit on
+    randomized value sets — same invariant, finer interval shrink."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctseg_tpu.metrics.hd95 import _masked_order_stat_float
+
+    def plain_bisection(d2, mask, j, hi0, iters=50):
+        d2 = d2.ravel()
+        m = mask.ravel()
+
+        def body(_, bounds):
+            lo, hi = bounds
+            mid = (lo + hi) * 0.5
+            cnt = jnp.sum(jnp.where(m, d2 <= mid, False))
+            found = cnt >= j + 1
+            return jnp.where(found, lo, mid), jnp.where(found, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(
+            0, iters, body, (jnp.float32(-1.0), hi0.astype(jnp.float32))
+        )
+        return hi
+
+    for _ in range(20):
+        n = int(rng.integers(50, 3000))
+        vals = np.abs(
+            rng.normal(0, rng.uniform(0.1, 100), size=n)
+        ).astype(np.float32) ** 2
+        mask = rng.random(n) < rng.uniform(0.05, 0.9)
+        if not mask.any():
+            mask[0] = True
+        hi0 = jnp.float32(vals.max() * 1.5 + 1.0)
+        j = int(rng.integers(0, mask.sum()))
+        a = float(plain_bisection(jnp.asarray(vals), jnp.asarray(mask), j, hi0))
+        b = float(
+            _masked_order_stat_float(
+                jnp.asarray(vals), jnp.asarray(mask), j, hi0
+            )
+        )
+        expected = float(np.sort(vals[mask])[j])
+        assert np.float32(a) == np.float32(b), (a, b, expected)

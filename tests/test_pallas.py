@@ -155,3 +155,44 @@ def test_fused_norm_config_off_tpu_still_normalizes(rng):
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
     # and the norm genuinely ran: logits differ from a norm-free model
     assert float(np.abs(outs[1]).max()) > 0
+
+
+def test_min_plus_kernel_bit_exact_vs_jnp(rng):
+    """The Pallas squared-EDT min-plus pass equals the jnp all-pairs
+    reduce to f32 BIT equality (same float expression per pair, min is
+    rounding-free) across unaligned K/L incl. padding paths. Interpret
+    mode here; the same assert ran on the real chip at the eval shape
+    before the TPU dispatch was enabled (ops/edt.py::_use_pallas_min_plus)."""
+    import jax.numpy as jnp
+
+    from ctseg_tpu.ops.pallas.min_plus import min_plus_2d
+
+    for k_dim, l_dim in [(17, 100), (280, 1030), (8, 8), (96, 128)]:
+        x = jnp.asarray(
+            rng.uniform(0, 1e6, size=(k_dim, l_dim)).astype(np.float32)
+        )
+        s = jnp.float32(rng.uniform(0.5, 3.0))
+        i = jnp.arange(k_dim, dtype=jnp.float32)
+        delta = (i[:, None] - i[None, :]) * s
+        ref = jnp.min(delta[:, :, None] ** 2 + x[None], axis=1)
+        got = min_plus_2d(x, s, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_edt_pallas_dispatch_flag(rng, monkeypatch):
+    """CTSEG_EDT_PALLAS=0/1/auto controls the TPU min-plus dispatch; on
+    the CPU test backend auto resolves to the jnp path, and forcing 1
+    exercises interpret-incompatible lowering only on real TPU — so here
+    we just pin the flag logic."""
+    from ctseg_tpu.ops import edt
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    monkeypatch.setenv("CTSEG_EDT_PALLAS", "0")
+    assert edt._use_pallas_min_plus(True) is False
+    monkeypatch.setenv("CTSEG_EDT_PALLAS", "1")
+    assert edt._use_pallas_min_plus(False) is on_tpu
+    monkeypatch.setenv("CTSEG_EDT_PALLAS", "auto")
+    assert edt._use_pallas_min_plus(True) is on_tpu
+    assert edt._use_pallas_min_plus(False) is False
