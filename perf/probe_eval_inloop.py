@@ -4,8 +4,15 @@ EVIDENCE_r4 `volumetric_3d` recorded 67 vols/min warm in-loop
 (evaluate_3d_sliding_window: host staging + upload + windows + Dice + HD95)
 vs 266 vols/min "steady-state device-resident" (sliding_window_throughput:
 the bare runner re-invoked on device-resident volumes — no staging, no
-upload, no metrics). This probe decomposes the in-loop path on the real
-chip at the EVIDENCE shape (15 volumes, (27, 280, 280) float32 — the
+upload, no metrics). Round-5 history this probe drove: the first
+attribution showed a blocking 3.9 s device_put per 131 MB chunk ->
+int16 HU + worker-thread staging + depth-only bucketing (93.8 vols/min
+with HD95), then the device HD95 itself was cut 131.3 -> 73.7 ms/volume
+(perf/probe_hd95_cost.py: Pallas min-plus EDT kernel + k-ary order
+statistic) -> 116.5 vols/min. Note the e2e numbers move +-20% run-to-run
+with tunnel upload bandwidth (60 MB uploads measured 1.37-3.27 s across
+back-to-back runs); the per-chunk attribution is the stable signal.
+This probe decomposes the in-loop path on the real chip at the EVIDENCE shape (15 volumes, (27, 280, 280) float32 — the
 (40, 512, 512) synth scans after the anatomical crop; patch (128,128,16),
 Model-family filters 64..1024) into:
 
