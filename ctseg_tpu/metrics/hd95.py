@@ -207,6 +207,11 @@ def _masked_percentile_sqrt(d2, mask, percentile: float, n_iters: int,
         v_lo = jnp.sqrt(_masked_order_stat(d2, mask, lo_idx, n_iters))
         v_hi = jnp.sqrt(_masked_order_stat(d2, mask, hi_idx, n_iters))
     else:
+        # Measured and kept SEPARATE: a vmapped shared k-ary loop for the
+        # two adjacent order stats (one (2, _KARY)-threshold pass per
+        # level) tripled the percentile time on v5e (24.5 -> 69.7 ms/vol,
+        # perf/probe_hd95_cost.py) — the batched fori_loop defeats the
+        # fused broadcast-compare-reduce the separate searches get.
         v_lo = jnp.sqrt(_masked_order_stat_float(d2, mask, lo_idx, hi0))
         v_hi = jnp.sqrt(_masked_order_stat_float(d2, mask, hi_idx, hi0))
     return v_lo + frac * (v_hi - v_lo), n
