@@ -7,7 +7,7 @@ the bare runner re-invoked on device-resident volumes — no staging, no
 upload, no metrics). Round-5 history this probe drove: the first
 attribution showed a blocking 3.9 s device_put per 131 MB chunk ->
 int16 HU + worker-thread staging + depth-only bucketing (93.8 vols/min
-with HD95), then the device HD95 itself was cut 131.3 -> 73.7 ms/volume
+with HD95), then the device HD95 itself was cut 131.3 -> 74.0 ms/volume
 (perf/probe_hd95_cost.py: Pallas min-plus EDT kernel + k-ary order
 statistic) -> 116.5 vols/min. Note the e2e numbers move +-20% run-to-run
 with tunnel upload bandwidth (60 MB uploads measured 1.37-3.27 s across
